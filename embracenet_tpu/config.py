@@ -1,0 +1,122 @@
+"""Typed configuration and the hyperparameter search space *as data*.
+
+The reference embeds its search space imperatively in model constructors via
+``trial.suggest_*`` calls (`BIOINF_tesi/models/FF_net.py:18-46`,
+`models/CNN_net.py:26-57`, `models/EmbraceNetMultimodal.py:124-157`,
+`models/ConcatNetMultimodal.py:42-60`, optimizer/lr/wd at
+`models/utils/training_models.py:269-271`).  Declaring the identical menus as
+data makes trials vmappable and the space serialisable/persistable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+# ---------------------------------------------------------------------------
+# Search-space menus (exact reference values)
+# ---------------------------------------------------------------------------
+
+FFNN_MAX_LAYERS = 4
+FFNN_WIDTH_MENUS: tuple[tuple[int, ...], ...] = (
+    (32, 64, 128, 256),   # n_units_l0
+    (16, 32, 64, 128),    # n_units_l1
+    (4, 16, 32, 64),      # n_units_l2
+    (4, 16, 32),          # n_units_l3
+)
+FFNN_DROPOUT_MENUS: tuple[tuple[float, ...], ...] = (
+    (0.0, 0.2, 0.3, 0.4),  # l0  (i < 2)
+    (0.0, 0.2, 0.3, 0.4),  # l1
+    (0.0, 0.4, 0.5),       # l2  (i >= 2)
+    (0.0, 0.4, 0.5),       # l3
+)
+FFNN_MAX_WIDTH = max(max(m) for m in FFNN_WIDTH_MENUS)  # 256
+
+CNN_MAX_LAYERS = 4
+CNN_CHANNEL_MENUS: tuple[tuple[int, ...], ...] = (
+    (16, 32, 64),          # out_channels_l0
+    (32, 64, 96),          # out_channels_l1
+    (64, 96, 128, 256),    # out_channels_l2
+    (128, 256, 512),       # out_channels_l3
+)
+CNN_KERNEL_MENU: tuple[int, ...] = (5, 11, 15)
+CNN_MAX_KERNEL = max(CNN_KERNEL_MENU)
+CNN_DROPOUT_MENUS: tuple[tuple[float, ...], ...] = (
+    (0.0, 0.2, 0.3, 0.4),  # l0  (i < 1)
+    (0.0, 0.4, 0.5),       # l1  (i >= 1)
+    (0.0, 0.4, 0.5),       # l2
+    (0.0, 0.4, 0.5),       # l3
+)
+CNN_MAX_CHANNELS = tuple(max(m) for m in CNN_CHANNEL_MENUS)  # (64, 96, 256, 512)
+CNN_IN_CHANNELS = 4
+CNN_HEAD_FC = (1000, 64)   # fixed FC sizes in headful CNN (CNN_net.py:72-74)
+
+EMBRACE_SIZE_MENU: tuple[int, ...] = (512, 768, 1024)
+EMBRACE_MAX_SIZE = max(EMBRACE_SIZE_MENU)
+EMBRACE_MAX_POST_LAYERS = 2         # suggest_int("n_post_layers", 0, 2)
+EMBRACE_POST_WIDTH_MENUS: tuple[tuple[int, ...], ...] = (
+    (32, 64, 128, 256, 512),        # EMBRACENET_n_units_l0
+    (16, 32, 64, 128, 256),         # EMBRACENET_n_units_l1
+)
+EMBRACE_POST_DROPOUT_MENU: tuple[float, ...] = (0.0, 0.2, 0.3, 0.5)
+
+CONCAT_MAX_POST_LAYERS = 3          # suggest_int("CONCATNET_n_post_layers", 1, 3)
+CONCAT_POST_WIDTH_MENUS: tuple[tuple[int, ...], ...] = (
+    (512, 768, 1024),               # CONCATNET_n_units_l0
+    (32, 64, 128, 256, 512),        # CONCATNET_n_units_l1
+    (16, 32, 64, 128, 256),         # CONCATNET_n_units_l2
+)
+CONCAT_POST_DROPOUT_MENU: tuple[float, ...] = (0.0, 0.2, 0.3, 0.5)
+
+OPTIMIZER_MENU: tuple[str, ...] = ("Nadam", "Adam", "RMSprop")
+LR_RANGE = (1e-5, 1e-1)             # loguniform
+WEIGHT_DECAY_RANGE = (1e-4, 1e-1)   # loguniform
+
+MODALITY_DROPOUT_P = 0.5            # EmbraceNetMultimodal.py:178-182
+
+
+# ---------------------------------------------------------------------------
+# Experiment configs
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop knobs (defaults = reference defaults)."""
+    num_epochs: int = 100
+    patience: int = 4               # EarlyStopping patience (utils.py:23-67)
+    delta: float = 0.0
+    batch_size: int = 100           # train; test uses 2x (Kfold_CV:477)
+    rebalance_threshold: float = 0.1
+    auprc_on_probabilities: bool = False  # False = reference argmax quirk
+    compute_dtype: str = "float32"  # "bfloat16" for MXU speed
+    seed: int = 789                 # Kfold_CV random_state default
+
+
+@dataclasses.dataclass(frozen=True)
+class CVConfig:
+    n_folds: int = 3
+    n_trials: int = 3               # Param_Search n_trials (Kfold_CV:502)
+    sampler: str = "TPE"            # 'TPE' | 'random' | 'BO'
+    type_augm_genfeatures: str = "smote"   # 'smote' | 'double'
+    augmentation: bool = False      # multimodal augmentation path
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Logical device mesh: trials x data-parallel shards."""
+    trial_axis: int = 1
+    data_axis: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    cell_line: str = "K562"
+    task: str = "active_P_vs_inactive_P"
+    model: str = "FFNN"             # FFNN|CNN|EmbraceNetMultimodal|ConcatNetMultimodal
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    cv: CVConfig = dataclasses.field(default_factory=CVConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+def menu_index(menu: Sequence, value) -> int:
+    return list(menu).index(value)

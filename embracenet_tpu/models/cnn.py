@@ -1,0 +1,143 @@
+"""CNN supernet (DNA-sequence branch).
+
+Encodes the reference's tunable 1-D CNN family — 1-4 blocks of
+``Conv1d(same-pad, k in {5,11,15}) + BatchNorm1d + ReLU + MaxPool1d(10, 2) +
+Dropout`` followed by a purely linear FC head ``flat -> 1000 -> 64 -> 2``
+(`BIOINF_tesi/models/CNN_net.py:10-83`; note the head has **no activations**
+— a reference quirk we reproduce; headless variant `CNN_pre.py:10-76`) — as a
+fixed-shape masked supernet:
+
+  * channel menus -> channel masks over maximal channels (64, 96, 256, 512),
+  * kernel menu   -> centered tap masks over the maximal 15-tap kernel
+    (valid because every conv is same-padded, `CNN_net.py:39-41`),
+  * depth         -> selection among the four flatten candidates; the length
+    trajectory 256 -> 124 -> 58 -> 25 -> 8 is kernel-independent
+    (see ops/convmath.py).
+
+Input: one-hot DNA ``[B, 4, 256]``.  Hyperparameters (traced per trial):
+``n_layers`` i32, ``channels`` i32[4], ``kernels`` i32[4], ``dropout`` f32[4].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from embracenet_tpu.config import (
+    CNN_HEAD_FC,
+    CNN_IN_CHANNELS,
+    CNN_MAX_CHANNELS,
+    CNN_MAX_KERNEL,
+    CNN_MAX_LAYERS,
+)
+from embracenet_tpu.ops.convmath import CNN_LENGTHS
+from embracenet_tpu.models.layers import (
+    batchnorm_apply,
+    batchnorm_init,
+    conv1d_ncw,
+    dropout as _dropout,
+    kernel_tap_mask,
+    linear,
+    maxpool1d,
+    torch_uniform_init,
+    width_mask,
+)
+
+#: flatten size of each depth candidate (channels_max * length)
+FLAT_SIZES = tuple(c * l for c, l in zip(CNN_MAX_CHANNELS, CNN_LENGTHS))
+FLAT_MAX = max(FLAT_SIZES)  # 7936 = 64 * 124
+
+
+def init(key, hp, n_classes: int = 2, head: bool = True):
+    """Per-trial init with the trial's actual fan-ins (torch parity)."""
+    n_layers = int(hp["n_layers"])
+    channels = [int(c) for c in hp["channels"]]
+    kernels = [int(k) for k in hp["kernels"]]
+    keys = jax.random.split(key, 2 * CNN_MAX_LAYERS + 6)
+    params = {}
+    bn_state = {}
+    c_in_actual = CNN_IN_CHANNELS
+    for i in range(CNN_MAX_LAYERS):
+        c_in_max = CNN_IN_CHANNELS if i == 0 else CNN_MAX_CHANNELS[i - 1]
+        c_out_max = CNN_MAX_CHANNELS[i]
+        fan_in = c_in_actual * kernels[i]
+        params[f"conv_w{i}"] = torch_uniform_init(
+            keys[2 * i], (c_out_max, c_in_max, CNN_MAX_KERNEL), fan_in)
+        params[f"conv_b{i}"] = torch_uniform_init(keys[2 * i + 1], (c_out_max,), fan_in)
+        bn_p, bn_s = batchnorm_init(c_out_max)
+        params[f"bn{i}"] = bn_p
+        bn_state[f"bn{i}"] = bn_s
+        if i < n_layers:
+            c_in_actual = channels[i]
+    if head:
+        flat_actual = channels[n_layers - 1] * CNN_LENGTHS[n_layers - 1]
+        f1, f2 = CNN_HEAD_FC
+        params["w_fc1"] = torch_uniform_init(keys[-6], (FLAT_MAX, f1), flat_actual)
+        params["b_fc1"] = torch_uniform_init(keys[-5], (f1,), flat_actual)
+        params["w_fc2"] = torch_uniform_init(keys[-4], (f1, f2), f1)
+        params["b_fc2"] = torch_uniform_init(keys[-3], (f2,), f1)
+        params["w_head"] = torch_uniform_init(keys[-2], (f2, n_classes), f2)
+        params["b_head"] = torch_uniform_init(keys[-1], (n_classes,), f2)
+    return params, bn_state
+
+
+def features(params, bn_state, hp, x, *, train: bool = False, key=None,
+             row_mask=None, compute_dtype=None):
+    """Headless forward (reference ``CNN_pre``).
+
+    Returns ``(flat [B, FLAT_MAX], flat_mask [FLAT_MAX], new_bn_state)``.
+    ``sum(flat_mask)`` equals the reference's ``CNN_pre.output_size``.
+    """
+    n_layers = hp["n_layers"]
+    channels = hp["channels"]
+    kernels = hp["kernels"]
+    rates = hp["dropout"]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, CNN_MAX_LAYERS)
+
+    new_bn_state = {}
+    h = x  # [B, 4, 256]
+    flats = []
+    for i in range(CNN_MAX_LAYERS):
+        tap = kernel_tap_mask(CNN_MAX_KERNEL, kernels[i])
+        w = params[f"conv_w{i}"] * tap[None, None, :]
+        z = conv1d_ncw(h, w, compute_dtype) + params[f"conv_b{i}"][None, :, None]
+        z, bn_s = batchnorm_apply(z, params[f"bn{i}"], bn_state[f"bn{i}"],
+                                  train, row_mask)
+        new_bn_state[f"bn{i}"] = bn_s
+        z = jax.nn.relu(z)
+        z = maxpool1d(z)
+        z = _dropout(z, rates[i], keys[i], train)
+        cmask = width_mask(CNN_MAX_CHANNELS[i], channels[i])
+        z = z * cmask[None, :, None]
+        h = z
+        flat = z.reshape(z.shape[0], -1)
+        flats.append(jnp.pad(flat, ((0, 0), (0, FLAT_MAX - flat.shape[1]))))
+
+    # depth selection among the four flatten candidates
+    out = flats[0]
+    for d in range(1, CNN_MAX_LAYERS):
+        out = jnp.where(n_layers > d, flats[d], out)
+
+    # valid features occupy [0, channels * length) (channel-major flatten)
+    lengths = jnp.asarray(CNN_LENGTHS)
+    depth_idx = jnp.clip(n_layers - 1, 0, CNN_MAX_LAYERS - 1)
+    flat_valid = jnp.asarray(channels)[depth_idx] * lengths[depth_idx]
+    flat_mask = width_mask(FLAT_MAX, flat_valid)
+    return out * flat_mask, flat_mask, new_bn_state
+
+
+def apply(params, bn_state, hp, x, *, train: bool = False, key=None,
+          row_mask=None, compute_dtype=None):
+    """Headful forward -> (logits [B, n_classes], new_bn_state).
+
+    The FC head is linear->linear->linear with no activations
+    (`CNN_net.py:77-83` parity).
+    """
+    flat, _, new_bn_state = features(params, bn_state, hp, x, train=train,
+                                     key=key, row_mask=row_mask,
+                                     compute_dtype=compute_dtype)
+    h = linear(flat, params["w_fc1"], params["b_fc1"], compute_dtype)
+    h = linear(h, params["w_fc2"], params["b_fc2"], compute_dtype)
+    return linear(h, params["w_head"], params["b_head"], compute_dtype), new_bn_state

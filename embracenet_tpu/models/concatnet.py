@@ -1,0 +1,88 @@
+"""ConcatNet multimodal baseline (supernet form).
+
+Reference: `BIOINF_tesi/models/ConcatNetMultimodal.py:12-83` — FFNN_pre +
+CNN_pre branches, feature concatenation (`:76`), 1-3 post
+Linear+ReLU+Dropout layers (width menus (512,768,1024) / (32..512) /
+(16..256)) and a ``Linear(., 2)`` head.
+
+Hyperparameters (traced): ``ffnn`` sub-dict, ``cnn`` sub-dict,
+``n_post`` i32 (1..3), ``post_widths`` i32[3], ``post_dropout`` f32[3].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from embracenet_tpu.config import CONCAT_MAX_POST_LAYERS, FFNN_MAX_WIDTH
+from embracenet_tpu.models import cnn as cnn_mod
+from embracenet_tpu.models import ffnn as ffnn_mod
+from embracenet_tpu.models.cnn import FLAT_MAX
+from embracenet_tpu.models.layers import (
+    dropout as _dropout,
+    linear,
+    torch_uniform_init,
+    width_mask,
+)
+from embracenet_tpu.ops.convmath import CNN_LENGTHS
+
+CONCAT_DIM = FFNN_MAX_WIDTH + FLAT_MAX   # 256 + 7936
+P = 1024                                 # post space (max width menu)
+
+
+def init(key, hp, in_features_ffnn: int, n_classes: int = 2):
+    k_ffnn, k_cnn, k_post, k_head, k_headb = jax.random.split(key, 5)
+    n_post = int(hp["n_post"])
+    post_widths = [int(w) for w in hp["post_widths"]]
+
+    ffnn_params = ffnn_mod.init(k_ffnn, hp["ffnn"], in_features_ffnn, head=False)
+    cnn_params, bn_state = cnn_mod.init(k_cnn, hp["cnn"], head=False)
+
+    ffnn_out = int(hp["ffnn"]["widths"][int(hp["ffnn"]["n_layers"]) - 1])
+    cnn_depth = int(hp["cnn"]["n_layers"])
+    cnn_out = int(hp["cnn"]["channels"][cnn_depth - 1]) * CNN_LENGTHS[cnn_depth - 1]
+
+    params = {"ffnn": ffnn_params, "cnn": cnn_params}
+    pk = jax.random.split(k_post, 2 * CONCAT_MAX_POST_LAYERS)
+    fan_in = ffnn_out + cnn_out
+    for i in range(CONCAT_MAX_POST_LAYERS):
+        d_in = CONCAT_DIM if i == 0 else P
+        params[f"post_w{i}"] = torch_uniform_init(pk[2 * i], (d_in, P), fan_in)
+        params[f"post_b{i}"] = torch_uniform_init(pk[2 * i + 1], (P,), fan_in)
+        if i < n_post:
+            fan_in = post_widths[i]
+    params["head_w"] = torch_uniform_init(k_head, (P, n_classes), fan_in)
+    params["head_b"] = torch_uniform_init(k_headb, (n_classes,), fan_in)
+    return params, bn_state
+
+
+def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,
+          key=None, row_mask=None, compute_dtype=None):
+    """Forward -> (logits [B, 2], new_bn_state)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_ffnn, k_cnn, k_post = jax.random.split(key, 3)
+
+    f_ffnn, _ = ffnn_mod.features(params["ffnn"], hp["ffnn"], x_ffnn,
+                                  train=train, key=k_ffnn,
+                                  compute_dtype=compute_dtype)
+    f_cnn, _, new_bn_state = cnn_mod.features(
+        params["cnn"], bn_state, hp["cnn"], x_cnn, train=train, key=k_cnn,
+        row_mask=row_mask, compute_dtype=compute_dtype)
+
+    h = jnp.concatenate([f_ffnn, f_cnn], axis=-1)  # [B, CONCAT_DIM]
+    n_post = hp["n_post"]
+    pw = hp["post_widths"]
+    pr = hp["post_dropout"]
+    pk = jax.random.split(k_post, CONCAT_MAX_POST_LAYERS)
+    out = None
+    for i in range(CONCAT_MAX_POST_LAYERS):
+        inp = h if i == 0 else out
+        mask = width_mask(P, pw[i])
+        z = jax.nn.relu(linear(inp, params[f"post_w{i}"], params[f"post_b{i}"],
+                               compute_dtype)) * mask
+        z = _dropout(z, pr[i], pk[i], train) * mask
+        out = z if i == 0 else jnp.where(i < n_post, z, out)
+
+    logits = linear(out, params["head_w"], params["head_b"], compute_dtype)
+    return logits, new_bn_state

@@ -1,0 +1,172 @@
+"""EmbraceNet fusion core + multimodal wrapper (supernet form).
+
+Reference: `BIOINF_tesi/models/EmbraceNetMultimodal.py`.
+  * Docking: per-modality ``Linear(d_i -> c) + ReLU`` (`:52-60`).
+  * Selection probabilities ``p * availability`` normalised per row (`:69-76`).
+  * Embracement: ``torch.multinomial(p, num_samples=c, replacement=True)``
+    draws an *iid* modality index per output feature (`:84`), then a one-hot
+    toggle mask picks that modality's docking value (`:85-88`).
+
+With two modalities the categorical draw collapses to a per-feature Bernoulli
+select — no ``[B, c, m]`` one-hot stack is ever materialised here; the fused
+Pallas kernel (ops/pallas/embrace.py) goes further and fuses docking matmuls
+with the stochastic select.
+
+Wrapper (`EmbraceNetMultimodal`, `:94-193`): FFNN_pre + CNN_pre branches, a
+tuned embracement size in {512, 768, 1024}, 0-2 post Linear+ReLU+Dropout
+layers + ``Linear(., 2)`` head, a tuned scalar ``selection_probabilities_FFNN``
+p -> [p, 1-p], and *modality dropout*: while training, with probability 0.5
+per batch each sample keeps exactly one uniformly chosen modality (`:178-182`).
+
+Hyperparameters (traced): ``ffnn`` sub-dict, ``cnn`` sub-dict,
+``embrace_size`` i32, ``n_post`` i32, ``post_widths`` i32[2],
+``post_dropout`` f32[2], ``p_ffnn`` f32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from embracenet_tpu.config import (
+    EMBRACE_MAX_POST_LAYERS,
+    EMBRACE_MAX_SIZE,
+    FFNN_MAX_WIDTH,
+    MODALITY_DROPOUT_P,
+)
+from embracenet_tpu.models import cnn as cnn_mod
+from embracenet_tpu.models import ffnn as ffnn_mod
+from embracenet_tpu.models.cnn import FLAT_MAX
+from embracenet_tpu.models.layers import (
+    dropout as _dropout,
+    linear,
+    torch_uniform_init,
+    width_mask,
+)
+from embracenet_tpu.ops.convmath import CNN_LENGTHS
+
+E = EMBRACE_MAX_SIZE          # 1024
+P = 512                       # post-layer space (max of post width menus)
+
+
+def embrace(dockings, key, availabilities=None, selection_probabilities=None,
+            e_mask=None):
+    """Stochastic embracement over a list of docked modalities.
+
+    ``dockings``: list of [B, E] arrays (already ReLU-ed and e-masked).
+    Matches `EmbraceNetMultimodal.py:63-88` semantics with jax.random.
+    """
+    m = len(dockings)
+    b = dockings[0].shape[0]
+    if availabilities is None:
+        availabilities = jnp.ones((b, m), jnp.float32)
+    if selection_probabilities is None:
+        selection_probabilities = jnp.ones((b, m), jnp.float32)
+    p = selection_probabilities * availabilities
+    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+
+    if m == 2:
+        u = jax.random.uniform(key, (b, dockings[0].shape[1]))
+        out = jnp.where(u < p[:, 0:1], dockings[0], dockings[1])
+    else:
+        logits = jnp.log(jnp.maximum(p, 1e-30))
+        idx = jax.random.categorical(
+            key, logits[:, None, :], axis=-1,
+            shape=(b, dockings[0].shape[1]))
+        stack = jnp.stack(dockings, axis=-1)
+        out = jnp.take_along_axis(stack, idx[..., None], axis=-1)[..., 0]
+    if e_mask is not None:
+        out = out * e_mask
+    return out
+
+
+def init(key, hp, in_features_ffnn: int, n_classes: int = 2):
+    """Init FFNN/CNN branches, docking layers, post MLP and head."""
+    k_ffnn, k_cnn, k_d0, k_d0b, k_d1, k_d1b, k_post, k_head, k_headb = \
+        jax.random.split(key, 9)
+    n_post = int(hp["n_post"])
+    post_widths = [int(w) for w in hp["post_widths"]]
+    e_size = int(hp["embrace_size"])
+
+    ffnn_params = ffnn_mod.init(k_ffnn, hp["ffnn"], in_features_ffnn, head=False)
+    cnn_params, bn_state = cnn_mod.init(k_cnn, hp["cnn"], head=False)
+
+    ffnn_out = int(hp["ffnn"]["widths"][int(hp["ffnn"]["n_layers"]) - 1])
+    cnn_depth = int(hp["cnn"]["n_layers"])
+    cnn_out = int(hp["cnn"]["channels"][cnn_depth - 1]) * CNN_LENGTHS[cnn_depth - 1]
+
+    params = {
+        "ffnn": ffnn_params,
+        "cnn": cnn_params,
+        "dock0_w": torch_uniform_init(k_d0, (FFNN_MAX_WIDTH, E), ffnn_out),
+        "dock0_b": torch_uniform_init(k_d0b, (E,), ffnn_out),
+        "dock1_w": torch_uniform_init(k_d1, (FLAT_MAX, E), cnn_out),
+        "dock1_b": torch_uniform_init(k_d1b, (E,), cnn_out),
+    }
+    pk = jax.random.split(k_post, 2 * EMBRACE_MAX_POST_LAYERS)
+    fan_in = e_size
+    for i in range(EMBRACE_MAX_POST_LAYERS):
+        d_in = E if i == 0 else P
+        params[f"post_w{i}"] = torch_uniform_init(pk[2 * i], (d_in, P), fan_in)
+        params[f"post_b{i}"] = torch_uniform_init(pk[2 * i + 1], (P,), fan_in)
+        if i < n_post:
+            fan_in = post_widths[i]
+    head_fan = e_size if n_post == 0 else post_widths[n_post - 1]
+    params["head_w"] = torch_uniform_init(k_head, (E + P, n_classes), head_fan)
+    params["head_b"] = torch_uniform_init(k_headb, (n_classes,), head_fan)
+    return params, bn_state
+
+
+def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,
+          key=None, row_mask=None, availabilities=None,
+          modality_dropout: bool = True, compute_dtype=None):
+    """Forward -> (logits [B, 2], new_bn_state)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_ffnn, k_cnn, k_coin, k_target, k_embrace, k_post = jax.random.split(key, 6)
+
+    f_ffnn, _ = ffnn_mod.features(params["ffnn"], hp["ffnn"], x_ffnn,
+                                  train=train, key=k_ffnn,
+                                  compute_dtype=compute_dtype)
+    f_cnn, _, new_bn_state = cnn_mod.features(
+        params["cnn"], bn_state, hp["cnn"], x_cnn, train=train, key=k_cnn,
+        row_mask=row_mask, compute_dtype=compute_dtype)
+
+    e_mask = width_mask(E, hp["embrace_size"])
+    d0 = jax.nn.relu(linear(f_ffnn, params["dock0_w"], params["dock0_b"],
+                            compute_dtype)) * e_mask
+    d1 = jax.nn.relu(linear(f_cnn, params["dock1_w"], params["dock1_b"],
+                            compute_dtype)) * e_mask
+
+    b = d0.shape[0]
+    # modality dropout (EmbraceNetMultimodal.py:178-182): batch-level coin,
+    # then per-sample single-modality availability.
+    if availabilities is None and train and modality_dropout:
+        coin = jax.random.uniform(k_coin, ())
+        target = jnp.round(jax.random.uniform(k_target, (b,))).astype(jnp.int32)
+        one_hot_avail = jax.nn.one_hot(target, 2)
+        availabilities = jnp.where(coin >= MODALITY_DROPOUT_P,
+                                   one_hot_avail, jnp.ones((b, 2)))
+    p = jnp.stack([jnp.broadcast_to(hp["p_ffnn"], (b,)),
+                   jnp.broadcast_to(1.0 - hp["p_ffnn"], (b,))], axis=-1)
+    h = embrace([d0, d1], k_embrace, availabilities=availabilities,
+                selection_probabilities=p, e_mask=e_mask)
+
+    # post MLP (0-2 layers) with pass-through selection
+    n_post = hp["n_post"]
+    pw = hp["post_widths"]
+    pr = hp["post_dropout"]
+    pk = jax.random.split(k_post, EMBRACE_MAX_POST_LAYERS)
+    hp_post = jnp.zeros((b, P), jnp.float32)
+    for i in range(EMBRACE_MAX_POST_LAYERS):
+        inp = h if i == 0 else hp_post
+        mask = width_mask(P, pw[i])
+        z = jax.nn.relu(linear(inp, params[f"post_w{i}"], params[f"post_b{i}"],
+                               compute_dtype)) * mask
+        z = _dropout(z, pr[i], pk[i], train) * mask
+        hp_post = jnp.where(i < n_post, z, hp_post)
+
+    head_in = jnp.concatenate(
+        [h * (n_post == 0), hp_post * (n_post > 0)], axis=-1)
+    logits = linear(head_in, params["head_w"], params["head_b"], compute_dtype)
+    return logits, new_bn_state

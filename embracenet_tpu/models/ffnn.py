@@ -1,0 +1,89 @@
+"""FFNN supernet (epigenomic-feature branch).
+
+Encodes the reference's tunable MLP family — 1-4 Linear+ReLU+Dropout blocks
+with per-layer width menus and a ``Linear(., 2)`` head
+(`BIOINF_tesi/models/FF_net.py:8-50`; headless variant `FFNN_pre.py:8-49`,
+which exposes ``output_size``) — as a single fixed-shape masked supernet:
+
+  * all hidden layers live in a common ``H = 256`` feature space,
+  * width menus become column masks, depth becomes pass-through selection,
+  * ReLU(0) = 0 keeps masked channels exactly dead through the stack.
+
+Each trial's effective function equals the corresponding reference
+architecture (see tests/test_models.py::test_ffnn_matches_explicit_mlp).
+
+Hyperparameters (per trial, traced): ``n_layers`` i32, ``widths`` i32[4],
+``dropout`` f32[4].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from embracenet_tpu.config import FFNN_MAX_LAYERS, FFNN_MAX_WIDTH
+from embracenet_tpu.models.layers import (
+    dropout as _dropout,
+    linear,
+    torch_uniform_init,
+    width_mask,
+)
+
+H = FFNN_MAX_WIDTH  # 256
+
+
+def init(key, hp, in_features: int, n_classes: int = 2, head: bool = True):
+    """Per-trial parameter init with the trial's *actual* fan-ins."""
+    n_layers = int(hp["n_layers"])
+    widths = [int(w) for w in hp["widths"]]
+    keys = jax.random.split(key, 2 * (FFNN_MAX_LAYERS + 1))
+    params = {}
+    fan_in = in_features
+    for i in range(FFNN_MAX_LAYERS):
+        d_in = in_features if i == 0 else H
+        params[f"w{i}"] = torch_uniform_init(keys[2 * i], (d_in, H), fan_in)
+        params[f"b{i}"] = torch_uniform_init(keys[2 * i + 1], (H,), fan_in)
+        if i < n_layers:
+            fan_in = widths[i]
+    if head:
+        params["w_head"] = torch_uniform_init(keys[-2], (H, n_classes), fan_in)
+        params["b_head"] = torch_uniform_init(keys[-1], (n_classes,), fan_in)
+    return params
+
+
+def features(params, hp, x, *, train: bool = False, key=None,
+             compute_dtype=None):
+    """Headless forward -> ([B, H] masked features, [H] output mask).
+
+    Reference parity: ``FFNN_pre`` (`models/FFNN_pre.py:47-49`); its
+    ``output_size`` corresponds to ``sum(out_mask)``.
+    """
+    n_layers = hp["n_layers"]
+    widths = hp["widths"]
+    rates = hp["dropout"]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, FFNN_MAX_LAYERS)
+
+    h = None
+    out_mask = None
+    for i in range(FFNN_MAX_LAYERS):
+        inp = x if i == 0 else h
+        mask = width_mask(H, widths[i])
+        z = linear(inp, params[f"w{i}"], params[f"b{i}"], compute_dtype)
+        z = jax.nn.relu(z) * mask
+        z = _dropout(z, rates[i], keys[i], train) * mask
+        if i == 0:
+            h, out_mask = z, mask
+        else:
+            active = (i < n_layers)
+            h = jnp.where(active, z, h)
+            out_mask = jnp.where(active, mask, out_mask)
+    return h, out_mask
+
+
+def apply(params, hp, x, *, train: bool = False, key=None, compute_dtype=None):
+    """Headful forward -> logits [B, n_classes] (reference ``FFNN``)."""
+    h, _ = features(params, hp, x, train=train, key=key,
+                    compute_dtype=compute_dtype)
+    return linear(h, params["w_head"], params["b_head"], compute_dtype)
