@@ -82,24 +82,33 @@ def init(key, hp, n_classes: int = 2, head: bool = True):
 
 
 def features(params, bn_state, hp, x, *, train: bool = False, key=None,
-             row_mask=None, compute_dtype=None):
+             row_mask=None, compute_dtype=None, max_depth: int | None = None):
     """Headless forward (reference ``CNN_pre``).
 
     Returns ``(flat [B, FLAT_MAX], flat_mask [FLAT_MAX], new_bn_state)``.
     ``sum(flat_mask)`` equals the reference's ``CNN_pre.output_size``.
+
+    ``max_depth`` (static Python int) compiles only the first ``max_depth``
+    blocks — a depth bucket.  A vmapped population whose deepest trial has
+    ``n_layers == 2`` then skips the two most expensive conv blocks entirely
+    (block 3 alone is ~60% of the supernet's FLOPs).  Trials with
+    ``n_layers > max_depth`` would be silently wrong; callers must pass the
+    population max (the train engine does).
     """
     n_layers = hp["n_layers"]
     channels = hp["channels"]
     kernels = hp["kernels"]
     rates = hp["dropout"]
+    if max_depth is None:
+        max_depth = CNN_MAX_LAYERS
     if key is None:
         key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, CNN_MAX_LAYERS)
 
-    new_bn_state = {}
+    new_bn_state = dict(bn_state)
     h = x  # [B, 4, 256]
     flats = []
-    for i in range(CNN_MAX_LAYERS):
+    for i in range(max_depth):
         tap = kernel_tap_mask(CNN_MAX_KERNEL, kernels[i])
         w = params[f"conv_w{i}"] * tap[None, None, :]
         z = conv1d_ncw(h, w, compute_dtype) + params[f"conv_b{i}"][None, :, None]
@@ -115,21 +124,21 @@ def features(params, bn_state, hp, x, *, train: bool = False, key=None,
         flat = z.reshape(z.shape[0], -1)
         flats.append(jnp.pad(flat, ((0, 0), (0, FLAT_MAX - flat.shape[1]))))
 
-    # depth selection among the four flatten candidates
+    # depth selection among the flatten candidates
     out = flats[0]
-    for d in range(1, CNN_MAX_LAYERS):
+    for d in range(1, max_depth):
         out = jnp.where(n_layers > d, flats[d], out)
 
     # valid features occupy [0, channels * length) (channel-major flatten)
     lengths = jnp.asarray(CNN_LENGTHS)
-    depth_idx = jnp.clip(n_layers - 1, 0, CNN_MAX_LAYERS - 1)
+    depth_idx = jnp.clip(n_layers - 1, 0, max_depth - 1)
     flat_valid = jnp.asarray(channels)[depth_idx] * lengths[depth_idx]
     flat_mask = width_mask(FLAT_MAX, flat_valid)
     return out * flat_mask, flat_mask, new_bn_state
 
 
 def apply(params, bn_state, hp, x, *, train: bool = False, key=None,
-          row_mask=None, compute_dtype=None):
+          row_mask=None, compute_dtype=None, max_depth: int | None = None):
     """Headful forward -> (logits [B, n_classes], new_bn_state).
 
     The FC head is linear->linear->linear with no activations
@@ -137,7 +146,8 @@ def apply(params, bn_state, hp, x, *, train: bool = False, key=None,
     """
     flat, _, new_bn_state = features(params, bn_state, hp, x, train=train,
                                      key=key, row_mask=row_mask,
-                                     compute_dtype=compute_dtype)
+                                     compute_dtype=compute_dtype,
+                                     max_depth=max_depth)
     h = linear(flat, params["w_fc1"], params["b_fc1"], compute_dtype)
     h = linear(h, params["w_fc2"], params["b_fc2"], compute_dtype)
     return linear(h, params["w_head"], params["b_head"], compute_dtype), new_bn_state

@@ -57,7 +57,8 @@ def init(key, hp, in_features_ffnn: int, n_classes: int = 2):
 
 
 def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,
-          key=None, row_mask=None, compute_dtype=None):
+          key=None, row_mask=None, compute_dtype=None,
+          cnn_max_depth: int | None = None):
     """Forward -> (logits [B, 2], new_bn_state)."""
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -68,7 +69,8 @@ def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,
                                   compute_dtype=compute_dtype)
     f_cnn, _, new_bn_state = cnn_mod.features(
         params["cnn"], bn_state, hp["cnn"], x_cnn, train=train, key=k_cnn,
-        row_mask=row_mask, compute_dtype=compute_dtype)
+        row_mask=row_mask, compute_dtype=compute_dtype,
+        max_depth=cnn_max_depth)
 
     h = jnp.concatenate([f_ffnn, f_cnn], axis=-1)  # [B, CONCAT_DIM]
     n_post = hp["n_post"]

@@ -119,7 +119,8 @@ def init(key, hp, in_features_ffnn: int, n_classes: int = 2):
 
 def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,
           key=None, row_mask=None, availabilities=None,
-          modality_dropout: bool = True, compute_dtype=None):
+          modality_dropout: bool = True, compute_dtype=None,
+          cnn_max_depth: int | None = None):
     """Forward -> (logits [B, 2], new_bn_state)."""
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -130,7 +131,8 @@ def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,
                                   compute_dtype=compute_dtype)
     f_cnn, _, new_bn_state = cnn_mod.features(
         params["cnn"], bn_state, hp["cnn"], x_cnn, train=train, key=k_cnn,
-        row_mask=row_mask, compute_dtype=compute_dtype)
+        row_mask=row_mask, compute_dtype=compute_dtype,
+        max_depth=cnn_max_depth)
 
     e_mask = width_mask(E, hp["embrace_size"])
     d0 = jax.nn.relu(linear(f_ffnn, params["dock0_w"], params["dock0_b"],

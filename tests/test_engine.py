@@ -1,0 +1,152 @@
+"""End-to-end training engine tests on synthetic data (golden strategy from
+SURVEY.md §4: fixed-seed mini-datasets through train->eval)."""
+
+import numpy as np
+import pytest
+
+from embracenet_tpu.config import TrainConfig
+from embracenet_tpu.hpo import space
+from embracenet_tpu.train import engine
+from embracenet_tpu.train.batching import balanced_plan
+from embracenet_tpu.train.modelspec import get_spec
+
+
+def _synthetic_tabular(rng, n=600, d=16, imbalance=0.25):
+    """Linearly separable-ish two-class tabular data."""
+    y = (rng.random(n) < imbalance).astype(np.int64)
+    w = rng.normal(size=d)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    x += np.outer(y * 2.0 - 1.0, w).astype(np.float32) * 0.8
+    return {"ffnn": x, "y": y}
+
+
+def _synthetic_seq(rng, n=220, imbalance=0.3):
+    """Sequences where class 1 has a planted motif."""
+    codes = rng.integers(0, 4, size=(n, 256)).astype(np.uint8)
+    y = (rng.random(n) < imbalance).astype(np.int64)
+    motif = np.array([0, 1, 2, 3, 0, 1, 2, 3], np.uint8)
+    for i in np.flatnonzero(y):
+        pos = rng.integers(0, 256 - 8)
+        codes[i, pos:pos + 8] = motif
+    return {"cnn": codes, "y": y}
+
+
+def test_balanced_plan_covers_all_and_batches_have_positives(rng):
+    y = (rng.random(503) < 0.1).astype(np.int64)
+    y[:5] = 1
+    plan = balanced_plan(y, batch_size=100)
+    seen = plan.idx[plan.mask > 0]
+    assert sorted(seen.tolist()) == list(range(503))
+    # reference metric divisor = ceil(n / batch) (len of sampler)
+    assert plan.metric_divisor == 6
+
+
+def test_balanced_plan_deterministic():
+    y = np.array([0, 1] * 50)
+    a = balanced_plan(y, 10)
+    b = balanced_plan(y, 10)
+    np.testing.assert_array_equal(a.idx, b.idx)
+
+
+def test_fit_ffnn_learns(rng):
+    data = _synthetic_tabular(rng)
+    train = {k: v[:450] for k, v in data.items()}
+    test = {k: v[450:] for k, v in data.items()}
+    spec = get_spec("FFNN", in_features_ffnn=16)
+    hp = space.params_to_hp("FFNN", {
+        "n_layers": 2, "n_units_l0": 64, "n_units_l1": 32,
+        "dropout_l0": 0.0, "dropout_l1": 0.0,
+        "dropout_l2": 0.0, "dropout_l3": 0.0,
+        "n_units_l2": 4, "n_units_l3": 4,
+    })
+    opt = {"optimizer": np.int32(0), "lr": np.float32(1e-3),
+           "weight_decay": np.float32(1e-4)}
+    cfg = TrainConfig(num_epochs=30, batch_size=64)
+    res = engine.fit(spec, [hp], [opt], train, test, cfg)
+    prevalence = test["y"].mean()
+    assert res.final_test_auprc[0] > prevalence + 0.15
+    assert res.epochs_run[0] >= 5
+
+
+def test_fit_population_trials_differ(rng):
+    data = _synthetic_tabular(rng, n=400)
+    train = {k: v[:300] for k, v in data.items()}
+    test = {k: v[300:] for k, v in data.items()}
+    spec = get_spec("FFNN", in_features_ffnn=16)
+    hps, opts = [], []
+    for t in range(3):
+        flat = space.sample_params("FFNN", rng)
+        hps.append(space.params_to_hp("FFNN", flat))
+        opts.append(space.optimizer_hp(flat))
+    cfg = TrainConfig(num_epochs=5, batch_size=64)
+    res = engine.fit(spec, hps, opts, train, test, cfg)
+    assert len(res.final_test_auprc) == 3
+    assert all(np.isfinite(res.final_test_auprc))
+    # different architectures / optimizers should not produce identical curves
+    assert len({tuple(np.round(h, 6)) for h in res.auprc_test}) > 1
+
+
+def test_fit_cnn_learns_motif(rng):
+    data = _synthetic_seq(rng)
+    train = {k: v[:160] for k, v in data.items()}
+    test = {k: v[160:] for k, v in data.items()}
+    spec = get_spec("CNN")
+    hp = space.params_to_hp("CNN", {
+        "n_layers": 1, "out_channels_l0": 16, "kernel_size_l0": 11,
+        "dropout_l0": 0.0,
+    })
+    opt = {"optimizer": np.int32(0), "lr": np.float32(3e-3),
+           "weight_decay": np.float32(1e-4)}
+    cfg = TrainConfig(num_epochs=25, batch_size=40)
+    res = engine.fit(spec, [hp], [opt], train, test, cfg)
+    prevalence = test["y"].mean()
+    # peak shows the motif was learned; final (reference = last-epoch value,
+    # after early stop) just needs to beat prevalence
+    assert max(res.auprc_test[0]) > prevalence + 0.1
+    assert res.final_test_auprc[0] > prevalence + 0.03
+
+
+def test_early_stopping_reference_semantics():
+    es = engine.EarlyStopping(patience=2)
+    assert not es(0.5)
+    assert not es(0.4)   # counter 1
+    assert es(0.45)      # counter 2 -> stop (0.45 < 0.5)
+    es2 = engine.EarlyStopping(patience=2)
+    es2(0.5)
+    es2(0.4)
+    assert not es2(0.6)  # improvement resets
+    assert es2.counter == 0
+
+
+def test_multimodal_fit_smoke(rng):
+    tab = _synthetic_tabular(rng, n=160, d=12)
+    seq = _synthetic_seq(rng, n=160)
+    data = {"ffnn": tab["ffnn"], "cnn": seq["cnn"], "y": tab["y"]}
+    train = {k: v[:120] for k, v in data.items()}
+    test = {k: v[120:] for k, v in data.items()}
+    spec = get_spec("EmbraceNetMultimodal", in_features_ffnn=12)
+    flat = space.sample_params("EmbraceNetMultimodal", rng)
+    flat["lr"] = 1e-3
+    flat["CNN_n_layers"] = 1  # depth bucket keeps the CPU test fast
+    hp = space.params_to_hp("EmbraceNetMultimodal", flat)
+    opt = space.optimizer_hp(flat)
+    cfg = TrainConfig(num_epochs=2, batch_size=50)
+    res = engine.fit(spec, [hp], [opt], train, test, cfg)
+    assert np.isfinite(res.final_test_auprc[0])
+    assert res.epochs_run[0] == 2
+
+
+def test_weight_reset_keeps_bn(rng):
+    import jax
+    spec = get_spec("CNN")
+    flat = space.sample_params("CNN", rng)
+    hp = space.params_to_hp("CNN", flat)
+    params, bn_state = spec.init(jax.random.PRNGKey(0), hp)
+    # pretend bn was trained
+    params["bn0"]["scale"] = params["bn0"]["scale"] * 3.0
+    new_params, new_bn = engine.weight_reset(
+        jax.random.PRNGKey(1), spec, hp, params, bn_state)
+    np.testing.assert_array_equal(np.asarray(new_params["bn0"]["scale"]),
+                                  np.asarray(params["bn0"]["scale"]))
+    assert not np.array_equal(np.asarray(new_params["conv_w0"]),
+                              np.asarray(params["conv_w0"]))

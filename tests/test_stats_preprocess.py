@@ -1,0 +1,89 @@
+import numpy as np
+import pytest
+from scipy.stats import kruskal, ranksums, spearmanr
+
+from embracenet_tpu.data import preprocess, stats
+
+
+@pytest.fixture
+def xy(rng):
+    x = rng.normal(size=(80, 6))
+    x[:, 3] = x[:, 0] * 2 + rng.normal(size=80) * 0.01  # correlated pair
+    y = (rng.random(80) < 0.4).astype(np.int64)
+    x[:, 1] += y * 1.5                                  # label-relevant col
+    return x, y
+
+
+def test_kruskal_matches_scipy(xy):
+    x, y = xy
+    got = stats.kruskal_pvalues(x, y)
+    for j in range(x.shape[1]):
+        _, want = kruskal(x[y == 1, j], x[y == 0, j])
+        assert got[j] == pytest.approx(want, rel=1e-9)
+
+
+def test_ranksums_matches_scipy(xy):
+    x, y = xy
+    got = stats.ranksums_pvalues(x, y)
+    for j in range(x.shape[1]):
+        _, want = ranksums(x[y == 1, j], x[y == 0, j])
+        assert got[j] == pytest.approx(want, rel=1e-9)
+
+
+def test_spearman_matches_scipy(xy):
+    x, _ = xy
+    got = stats.spearman_matrix(x)
+    for i in range(6):
+        for j in range(6):
+            want, _ = spearmanr(x[:, i], x[:, j])
+            assert got[i, j] == pytest.approx(want, abs=1e-12)
+
+
+def test_correlated_pairs_ordering(xy):
+    x, _ = xy
+    pairs = stats.correlated_pairs(x, list("abcdef"), threshold=0.75)
+    assert ("a", "d") in pairs  # the planted pair
+
+
+def test_remove_correlated_drops_weaker(xy):
+    x, y = xy
+    pairs = [("a", "d")]
+    survivors = stats.remove_correlated_features(x, y, list("abcdef"), pairs)
+    assert len(survivors) == 5
+    assert ("a" in survivors) != ("d" in survivors)
+
+
+def test_select_features_pipeline(xy):
+    x, y = xy
+    sel_x, cols = preprocess.select_features(x, y, list("abcdef"),
+                                             spearman_threshold=0.75)
+    assert "b" in cols            # label-relevant survives
+    assert sel_x.shape[1] == len(cols) < 6
+
+
+def test_robust_minmax_matches_sklearn(rng):
+    from sklearn.preprocessing import MinMaxScaler, RobustScaler
+    x = rng.normal(size=(50, 4)) * 10
+    want = MinMaxScaler().fit_transform(RobustScaler().fit_transform(x))
+    got = preprocess.robust_minmax_scale(x)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_iterative_impute_recovers_linear(rng):
+    n = 200
+    a = rng.normal(size=n)
+    b = 2 * a + 1 + rng.normal(size=n) * 0.05
+    c = rng.normal(size=n)
+    x = np.stack([a, b, c], axis=1)
+    x_missing = x.copy()
+    miss = rng.random(n) < 0.2
+    x_missing[miss, 1] = np.nan
+    filled = preprocess.iterative_impute(x_missing)
+    err = np.abs(filled[miss, 1] - x[miss, 1]).mean()
+    naive = np.abs(np.nanmean(x_missing[:, 1]) - x[miss, 1]).mean()
+    assert err < naive * 0.2  # far better than mean imputation
+
+
+def test_impute_noop_without_missing(rng):
+    x = rng.normal(size=(20, 3))
+    np.testing.assert_array_equal(preprocess.iterative_impute(x), x)
