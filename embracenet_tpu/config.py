@@ -90,6 +90,7 @@ class TrainConfig:
     auprc_on_probabilities: bool = False  # False = reference argmax quirk
     compute_dtype: str = "float32"  # "bfloat16" for MXU speed
     seed: int = 789                 # Kfold_CV random_state default
+    epoch_chunk: int = 10           # epochs per device call (dispatch batching)
 
 
 @dataclasses.dataclass(frozen=True)

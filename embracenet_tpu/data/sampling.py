@@ -69,7 +69,9 @@ def smote_oversample(x: np.ndarray, y: np.ndarray, n_new_pos: int = None,
     rng = np.random.default_rng(random_state)
     new_x, new_y = [x], [y]
 
-    for cls, n_new in ((1, n_new_pos or 0), (0, n_new_neg or 0)):
+    # imblearn appends synthetic class-0 rows before class-1 rows; the
+    # reference's multimodal alignment relies on that order (utils.py:518-520)
+    for cls, n_new in ((0, n_new_neg or 0), (1, n_new_pos or 0)):
         if n_new <= 0:
             continue
         xc = x[y == cls]

@@ -1,0 +1,128 @@
+"""Hyperparameter search as one vmapped population (Param_Search equivalent).
+
+Reference: ``Param_Search`` / ``Param_Search_Multimodal``
+(`BIOINF_tesi/models/utils/training_models.py:192-399`,
+`training_models_multimodal.py:232-462`) run trials *sequentially*, each a
+full train loop.  Here the study's remaining trials are sampled up front and
+trained **simultaneously** as a vmapped population sharded over the mesh's
+trial axis — wall-clock for 3 trials ~= wall-clock for 1.
+
+Semantics preserved:
+  * objective = per-epoch test AUPRC, early stopping patience 4;
+  * resume accounting (only ``n_trials - n_complete`` new trials);
+  * per-trial intermediate values persisted; optional pruning via the
+    reference's MedianPruner-in-PatientPruner stack (inert at 3 trials/study,
+    as in the reference) or same-epoch population median (``prune="population"``);
+  * per-trial final weights checkpointed as ``{study_name}{number}`` (the
+    reference saves ``{study_name}{trial}.pt``, `training_models.py:350`);
+  * ``best_trial`` = argmax final objective over all completed trials.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+from embracenet_tpu.config import CVConfig, TrainConfig
+from embracenet_tpu.hpo import space as space_mod
+from embracenet_tpu.hpo.samplers import get_sampler, sample_n
+from embracenet_tpu.hpo.study import COMPLETE, PRUNED, MedianPruner, PatientPruner, Study
+from embracenet_tpu.training import engine
+from embracenet_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+from embracenet_tpu.training.modelspec import ModelSpec
+
+
+@dataclasses.dataclass
+class SearchResult:
+    best_params: dict           # flat reference-named hyperparameters
+    best_value: float
+    best_model: Any             # (params, bn_state) of the best trial or None
+    n_complete: int
+    n_pruned: int
+
+
+def run_search(spec: ModelSpec,
+               model: str,
+               data_train: dict,
+               data_val: dict,
+               study_name: str,
+               storage: str = "optuna_tuning.db",
+               sampler: str = "TPE",
+               n_trials: int = 3,
+               train_cfg: TrainConfig = TrainConfig(),
+               prune: str = "reference",
+               checkpoint_dir: str | None = None,
+               seed: int = 0,
+               verbose: bool = False) -> SearchResult:
+    """Run (or resume) a study; returns the best trial across all runs."""
+    study = Study(study_name, storage)
+    completed = study.completed_trials()
+    remaining = max(0, n_trials - len(completed))
+
+    if remaining > 0:
+        smp = get_sampler(sampler, seed=seed)
+        flat_list = sample_n(smp, model, remaining, study.history())
+        hp_list = [space_mod.params_to_hp(model, f) for f in flat_list]
+        opt_list = [space_mod.optimizer_hp(f) for f in flat_list]
+        numbers = [study.next_number() + i for i in range(remaining)]
+
+        pruner = PatientPruner(MedianPruner(), patience=2)
+        intermediates: list[dict] = [dict() for _ in range(remaining)]
+        pruned_flags = [False] * remaining
+
+        def report_fn(t, epoch, value):
+            intermediates[t][epoch] = value
+            hist = [intermediates[t][e] for e in sorted(intermediates[t])]
+            if prune == "reference":
+                do = pruner.should_prune(completed, epoch, value, hist)
+            elif prune == "population":
+                at_e = [iv.get(epoch) for iv in intermediates]
+                at_e = sorted(v for v in at_e if v is not None)
+                do = (len(at_e) >= 3 and len(hist) > 2
+                      and value < at_e[len(at_e) // 2]
+                      and hist[-1] <= max(hist[:-1]))
+            else:
+                do = False
+            if do:
+                pruned_flags[t] = True
+            return do
+
+        result = engine.fit(spec, hp_list, opt_list, data_train, data_val,
+                            train_cfg, key=jax.random.PRNGKey(seed),
+                            verbose=verbose, report_fn=report_fn)
+
+        for t in range(remaining):
+            value = result.auprc_test[t][-1] if result.auprc_test[t] else 0.0
+            state = PRUNED if pruned_flags[t] else COMPLETE
+            study.tell(numbers[t], flat_list[t],
+                       None if pruned_flags[t] else value,
+                       state, intermediates[t])
+            if checkpoint_dir and not pruned_flags[t]:
+                trial_tree = jax.tree.map(lambda a, i=t: np.asarray(a)[i],
+                                          (result.params, result.bn_state))
+                save_checkpoint(
+                    os.path.join(checkpoint_dir, f"{study_name}{numbers[t]}"),
+                    {"params": trial_tree[0], "bn_state": trial_tree[1]},
+                    meta={"model_params": flat_list[t], "value": value})
+
+    best = study.best_trial
+    best_model = None
+    if checkpoint_dir:
+        path = os.path.join(checkpoint_dir, f"{study_name}{best.number}.npz")
+        if os.path.exists(path):
+            trees, _ = load_checkpoint(path)
+            best_model = (trees["params"], trees.get("bn_state", {}))
+    n_pruned = len(study.pruned_trials())
+    res = SearchResult(best_params=best.params, best_value=best.value,
+                       best_model=best_model,
+                       n_complete=len(study.completed_trials()),
+                       n_pruned=n_pruned)
+    study.close()
+    if verbose:
+        print(f"study {study_name}: {res.n_complete} complete, "
+              f"{n_pruned} pruned, best value {res.best_value:.4f}")
+    return res

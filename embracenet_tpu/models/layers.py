@@ -73,20 +73,26 @@ def linear(x, w, b, compute_dtype=None):
 
 
 def conv1d_ncw(x, w, compute_dtype=None):
-    """Same-padded 1-D conv, NCW layout (x: [B,C,L], w: [O,I,K])."""
+    """Same-padded 1-D conv, NCW layout (x: [B,C,L], w: [O,I,K]).
+
+    In low-precision mode the conv runs wholly in ``compute_dtype`` and the
+    result is upcast afterwards: JAX's conv transpose rule rejects the
+    mixed bf16-in/f32-out form (`preferred_element_type` widening breaks
+    under grad), and the MXU accumulates in fp32 internally either way.
+    """
     k = w.shape[-1]
-    precision = lax.Precision.HIGHEST if compute_dtype is None else None
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
-    return lax.conv_general_dilated(
-        x, w,
+    kwargs = dict(
         window_strides=(1,),
         padding=[((k - 1) // 2, (k - 1) // 2)],
         dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-        precision=precision,
     )
+    if compute_dtype is not None:
+        y = lax.conv_general_dilated(
+            x.astype(compute_dtype), w.astype(compute_dtype), **kwargs)
+        return y.astype(jnp.float32)
+    return lax.conv_general_dilated(
+        x, w, preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST, **kwargs)
 
 
 def maxpool1d(x, kernel: int = 10, stride: int = 2):

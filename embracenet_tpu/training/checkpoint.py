@@ -1,0 +1,70 @@
+"""Checkpointing: pytrees to ``.npz`` with a JSON hyperparameter sidecar.
+
+Replaces the reference's torch ``.pt`` files whose *filenames* are a protocol
+(`{cell}_{model}[_augmentation]_{task}_{fold}_test_.pt`,
+`training_models_multimodal.py:792`) that the ``*_NoTrain`` model classes
+parse to rebuild architectures (`FFNN_NoTrain.py:26-27`).  Here the sampled
+flat hyperparameters ride *inside* the checkpoint (``meta["model_params"]``),
+so reloading never depends on filename conventions — but the same naming is
+still produced by the CV driver for drop-in familiarity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+_SEP = "|"
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}{_SEP}"))
+    else:
+        out[prefix.rstrip(_SEP)] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: dict):
+    tree: dict = {}
+    for key, value in flat.items():
+        parts = key.split(_SEP)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def save_checkpoint(path: str, trees: dict, meta: dict | None = None):
+    """``trees``: name -> pytree (e.g. {"params": ..., "bn_state": ...})."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = {}
+    for name, tree in trees.items():
+        for k, v in _flatten(jax.tree.map(np.asarray, tree)).items():
+            flat[f"{name}{_SEP}{k}" if k else name] = v
+    np.savez(path if path.endswith(".npz") else path + ".npz",
+             __meta__=np.frombuffer(
+                 json.dumps(meta or {}, default=float).encode(), np.uint8),
+             **flat)
+
+
+def load_checkpoint(path: str):
+    """-> (trees dict, meta dict)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode()) if "__meta__" in z else {}
+        flat = {k: z[k] for k in z.files if k != "__meta__"}
+    grouped: dict = {}
+    for k, v in flat.items():
+        name, _, rest = k.partition(_SEP)
+        grouped.setdefault(name, {})[rest] = v
+    trees = {name: (_unflatten(sub) if list(sub) != [""] else sub[""])
+             for name, sub in grouped.items()}
+    return trees, meta

@@ -1,0 +1,211 @@
+"""K-fold cross-validation orchestrator (unimodal + multimodal).
+
+Reference: ``Kfold_CV`` (`BIOINF_tesi/models/utils/training_models.py:408-692`)
+and ``Kfold_CV_Multimodal`` (`training_models_multimodal.py:475-798`).  Flow
+per fold (both engines unified here because the model spec abstracts inputs):
+
+  1. outer ``KFold(n_splits, shuffle, random_state)`` split;
+  2. inner train/val split with ``test_size = 1/n_folds`` (same seed across
+     modality views keeps rows aligned, `training_models_multimodal.py:737-742`);
+  3. rebalance the training split when pos/neg < threshold — SMOTE or
+     positive-resampling for tabular, complement strands for sequence; in
+     multimodal both views rebalance to identical counts and label layout so
+     one batch plan serves both (`:528-534`);
+  4. hyperparameter search on (train, val) — one vmapped population;
+  5. ``weight_reset`` of the best trial (keeping BatchNorm, a reference
+     quirk), optimizer rebuilt from the best flat params, retrain on
+     train+val, evaluate on the fold's test split;
+  6. keep the best-across-folds checkpoint under the reference's filename
+     protocol; accumulate ``scores_dict`` incl. ``average_CV_AUPRC``
+     (= round(sum/n_folds, 5), `training_models.py:690-691`).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import jax
+import numpy as np
+from sklearn.model_selection import KFold, train_test_split
+
+from embracenet_tpu.config import CVConfig, TrainConfig
+from embracenet_tpu.data import sampling
+from embracenet_tpu.hpo import space as space_mod
+from embracenet_tpu.hpo.search import run_search
+from embracenet_tpu.training import engine
+from embracenet_tpu.training.checkpoint import save_checkpoint
+from embracenet_tpu.training.modelspec import get_spec
+
+
+def _views_for_model(model: str):
+    if model == "FFNN":
+        return ("ffnn",)
+    if model == "CNN":
+        return ("cnn",)
+    return ("ffnn", "cnn")
+
+
+def rebalance_views(data: dict, views, type_augm: str, threshold: float,
+                    augmentation: bool = False, random_state: int = 123) -> dict:
+    """Rebalance (or augment) every view to identical counts/labels.
+
+    Tabular views use SMOTE/double; sequence views use complement strands.
+    All paths append the same number of positives (and, for augmentation,
+    negatives) in the same label order, so a single ``y``/batch plan stays
+    valid across views — mirroring how the reference feeds two loaders built
+    with the same sampler seed and asserts target equality per batch
+    (`training_models_multimodal.py:132-136`).
+    """
+    y = np.asarray(data["y"])
+    out = {}
+    new_y = None
+    for v in views:
+        if augmentation:
+            xv, yv = sampling.data_augmentation(
+                data[v], y, sequence=(v == "cnn"),
+                rebalance_threshold=threshold, random_state=random_state)
+        else:
+            xv, yv = sampling.data_rebalancing(
+                data[v], y, sequence=(v == "cnn"),
+                type_augm_genfeatures=type_augm,
+                rebalance_threshold=threshold, random_state=random_state)
+        out[v] = xv
+        if new_y is None:
+            new_y = np.asarray(yv)
+        else:
+            assert np.array_equal(new_y, np.asarray(yv)), \
+                "modality views diverged during rebalancing"
+    out["y"] = new_y if new_y is not None else y
+    return out
+
+
+class KfoldCV:
+    """Callable CV driver; accumulates a reference-shaped ``scores_dict``."""
+
+    def __init__(self):
+        self.scores_dict = defaultdict(dict)
+        self.scores_dict["final_test_AUPRC_scores"] = []
+        self.scores_dict["final_train_AUPRC_scores"] = []
+        self.best_params = {}
+
+    def __call__(self,
+                 data: dict,
+                 model: str,
+                 task: str | None = None,
+                 cell_line: str | None = None,
+                 cv_cfg: CVConfig = CVConfig(),
+                 train_cfg: TrainConfig = TrainConfig(),
+                 study_name: str | None = None,
+                 storage: str = "optuna_tuning.db",
+                 checkpoint_dir: str = "models",
+                 test_model_path: str | None = None,
+                 random_state: int = 789,
+                 verbose: bool = False):
+        """``data``: {"ffnn": [N,D] float, "cnn": [N,256] uint8 codes, "y"}
+        (views required by ``model`` must be present).
+        Returns the scores_dict."""
+        views = _views_for_model(model)
+        for v in views:
+            if v not in data:
+                raise ValueError(f"model {model} requires data view {v!r}")
+        y = np.asarray(data["y"])
+        n = len(y)
+        in_features = (np.asarray(data["ffnn"]).shape[1]
+                       if "ffnn" in views else None)
+        spec = get_spec(model, in_features_ffnn=in_features)
+        study_name = study_name or f"{cell_line}_{task}_{model}"
+        avg_score = []
+
+        kf = KFold(n_splits=cv_cfg.n_folds, shuffle=True,
+                   random_state=random_state)
+        for i, (train_index, test_index) in enumerate(kf.split(np.arange(n))):
+            fold = i + 1
+            if verbose:
+                print(f">>> fold {fold}/{cv_cfg.n_folds}")
+            tr_idx, val_idx = train_test_split(
+                train_index, test_size=1 / cv_cfg.n_folds,
+                random_state=random_state, shuffle=True)
+
+            def view_slice(idx):
+                d = {v: np.asarray(data[v])[idx] for v in views}
+                d["y"] = y[idx]
+                return d
+
+            train_d = rebalance_views(view_slice(tr_idx), views,
+                                      cv_cfg.type_augm_genfeatures,
+                                      train_cfg.rebalance_threshold,
+                                      augmentation=cv_cfg.augmentation)
+            val_d = view_slice(val_idx)
+
+            # ---- hyperparameter search (vmapped population) ----
+            search = run_search(
+                spec, model, train_d, val_d,
+                study_name=f"{study_name}_{fold}", storage=storage,
+                sampler=cv_cfg.sampler, n_trials=cv_cfg.n_trials,
+                train_cfg=train_cfg, checkpoint_dir=checkpoint_dir,
+                seed=random_state + fold, verbose=verbose)
+            self.best_params[fold] = search.best_params
+
+            # ---- retrain best architecture from scratch on train+val ----
+            trainval_d = rebalance_views(view_slice(train_index), views,
+                                         cv_cfg.type_augm_genfeatures,
+                                         train_cfg.rebalance_threshold,
+                                         augmentation=cv_cfg.augmentation)
+            test_d = view_slice(test_index)
+
+            hp = space_mod.params_to_hp(model, search.best_params)
+            opt = space_mod.optimizer_hp(search.best_params)
+            init_params = None
+            init_bn = None
+            if search.best_model is not None:
+                # weight_reset: fresh Linear/Conv, keep trained BN (quirk)
+                p0, b0 = engine.weight_reset(
+                    jax.random.PRNGKey(random_state + 100 + fold), spec, hp,
+                    search.best_model[0], search.best_model[1])
+                init_params = engine.stack_trials([p0])
+                init_bn = engine.stack_trials([b0])
+
+            result = engine.fit(spec, [hp], [opt], trainval_d, test_d,
+                                train_cfg, key=jax.random.PRNGKey(
+                                    random_state + 200 + fold),
+                                init_params=init_params, init_bn_state=init_bn,
+                                verbose=verbose)
+
+            it = f"iteration_n_{fold}"
+            self.scores_dict[it] = {
+                "AUPRC_train": result.auprc_train[0],
+                "AUPRC_test": result.auprc_test[0],
+                "F1_precision_recall": result.f1_precision_recall[0],
+            }
+            final_test = result.final_test_auprc[0]
+            final_train = result.final_train_auprc[0]
+            self.scores_dict["final_test_AUPRC_scores"].append(final_test)
+            self.scores_dict["final_train_AUPRC_scores"].append(final_train)
+            if verbose:
+                print(f"fold {fold} test AUPRC: {final_test:.4f}")
+
+            avg_score.append(final_test)
+            if final_test == max(avg_score) and test_model_path:
+                trial0 = jax.tree.map(lambda a: np.asarray(a)[0],
+                                      (result.params, result.bn_state))
+                save_checkpoint(
+                    os.path.join(checkpoint_dir, test_model_path),
+                    {"params": trial0[0], "bn_state": trial0[1]},
+                    meta={"model_params": search.best_params,
+                          "model": model, "cell_line": cell_line,
+                          "task": task, "fold": fold})
+
+        avg = float(np.round(sum(avg_score) / cv_cfg.n_folds, 5))
+        self.scores_dict["average_CV_AUPRC"] = avg
+        if verbose:
+            print(f"{cv_cfg.n_folds}-fold CV AUPRC: {avg}")
+        return dict(self.scores_dict)
+
+
+def checkpoint_name(cell_line: str, model: str, task: str, fold: int,
+                    augmentation: bool = False) -> str:
+    """Reference filename protocol
+    (`training_models_multimodal.py:792`)."""
+    augm = "_augmentation" if augmentation else ""
+    return f"{cell_line}_{model}{augm}_{task}_{fold}_test_"

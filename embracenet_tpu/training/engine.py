@@ -32,8 +32,8 @@ import numpy as np
 
 from embracenet_tpu.config import TrainConfig
 from embracenet_tpu.ops import losses, metrics, optim
-from embracenet_tpu.train.batching import BatchPlan, balanced_plan, eval_plan
-from embracenet_tpu.train.modelspec import ModelSpec
+from embracenet_tpu.training.batching import BatchPlan, balanced_plan, eval_plan
+from embracenet_tpu.training.modelspec import ModelSpec
 
 
 @dataclasses.dataclass
@@ -92,6 +92,22 @@ def stack_trials(trees):
     return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *trees)
 
 
+_EPOCH_FN_CACHE: dict = {}
+
+
+def _epoch_fns_cached(spec: ModelSpec, cfg: TrainConfig, compute_dtype,
+                      statics: dict):
+    """Reuse jitted epoch fns across fit() calls: jax's jit cache keys on
+    function identity, so rebuilding closures per call forces a recompile.
+    With shape bucketing (below), repeated folds/cells hit the XLA cache."""
+    key = (id(spec), cfg.auprc_on_probabilities, str(compute_dtype),
+           tuple(sorted(statics.items())))
+    if key not in _EPOCH_FN_CACHE:
+        _EPOCH_FN_CACHE[key] = _make_epoch_fns(spec, cfg, compute_dtype,
+                                               statics)
+    return _EPOCH_FN_CACHE[key]
+
+
 def _make_epoch_fns(spec: ModelSpec, cfg: TrainConfig, compute_dtype, statics=None):
     auprc = (metrics.auprc_prob if cfg.auprc_on_probabilities
              else metrics.auprc_argmax)
@@ -125,9 +141,11 @@ def _make_epoch_fns(spec: ModelSpec, cfg: TrainConfig, compute_dtype, statics=No
                 params, grads, opt_state, opt_hp["optimizer"], opt_hp["lr"],
                 opt_hp["weight_decay"])
 
-            # freeze stopped trials (early-stop semantics under vmap)
+            # freeze stopped trials (early-stop under vmap) and skip
+            # fully-masked dummy batches (shape-bucketing padding)
+            upd = jnp.logical_and(active, jnp.sum(mask) > 0)
             sel = lambda new, old: jax.tree.map(  # noqa: E731
-                lambda a, b: jnp.where(active, a, b), new, old)
+                lambda a, b: jnp.where(upd, a, b), new, old)
             params_out = sel(new_params, params)
             bn_out = sel(new_bn, bn_state)
             opt_out = sel(new_opt, opt_state)
@@ -156,22 +174,97 @@ def _make_epoch_fns(spec: ModelSpec, cfg: TrainConfig, compute_dtype, statics=No
             batch_step, None, (plan_idx, plan_mask))
         return jnp.sum(loss_seq), jnp.sum(auprc_seq), jnp.sum(f1_seq, axis=0)
 
-    # vmap over the trial axis; data and plans are shared.
-    train_epoch = jax.jit(jax.vmap(
-        train_epoch_one,
-        in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None)))
-    eval_epoch = jax.jit(jax.vmap(
-        eval_epoch_one, in_axes=(0, 0, 0, None, None, None)))
-    return train_epoch, eval_epoch
+    def chunk_one(params, bn_state, opt_state, key, es, hp, opt_hp,
+                  data_train, plan_idx, plan_mask,
+                  data_test, tplan_idx, tplan_mask, tplan_divisor, n_epochs):
+        """``n_epochs`` epochs for one trial in a single device program,
+        with the reference's early stopping evaluated *on device*: per-epoch
+        host round trips were the throughput bottleneck over the TPU tunnel.
+
+        ``es`` = (best, counter, stopped, epochs_run).  Stopped trials stay
+        in the scan but freeze their parameters (the ``active`` mask), which
+        costs nothing extra wall-clock in a vmapped population.
+        """
+
+        def epoch_body(carry, _):
+            params, bn_state, opt_state, key, es = carry
+            best, counter, stopped, epochs_run = es
+            active = jnp.logical_not(stopped)
+            params, bn_state, opt_state, key, loss_sum, auprc_sum = \
+                train_epoch_one(params, bn_state, opt_state, key, active,
+                                hp, opt_hp, data_train, plan_idx, plan_mask)
+            tloss, t_auprc_sum, f1_sum = eval_epoch_one(
+                params, bn_state, hp, data_test, tplan_idx, tplan_mask)
+
+            # EarlyStopping parity (models/utils/utils.py:23-67) on the
+            # batch-averaged test AUPRC
+            score = t_auprc_sum / tplan_divisor
+            first = jnp.isinf(best)
+            improved = jnp.logical_or(first, score >= best + cfg.delta)
+            new_best = jnp.where(improved, score, best)
+            new_counter = jnp.where(improved, 0, counter + 1)
+            newly_stopped = jnp.logical_and(jnp.logical_not(stopped),
+                                            new_counter >= cfg.patience)
+            new_stopped = jnp.logical_or(stopped, newly_stopped)
+            new_epochs = jnp.where(stopped, epochs_run, epochs_run + 1)
+            es = (jnp.where(stopped, best, new_best),
+                  jnp.where(stopped, counter, new_counter),
+                  new_stopped, new_epochs)
+            out = (loss_sum, auprc_sum, t_auprc_sum, f1_sum, new_stopped)
+            return (params, bn_state, opt_state, key, es), out
+
+        carry, outs = jax.lax.scan(
+            epoch_body, (params, bn_state, opt_state, key, es), None,
+            length=n_epochs)
+        return carry, outs
+
+    # vmap over the trial axis; data, plans and chunk length are shared.
+    chunk_fn = jax.jit(
+        jax.vmap(chunk_one,
+                 in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, None, None,
+                          None, None, None)),
+        static_argnums=(14,))
+    return chunk_fn
 
 
-def _device_data(data, spec: ModelSpec):
-    out = {"y": jnp.asarray(np.asarray(data["y"], np.int32))}
+def _bucket(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _pad_rows(a: np.ndarray, n_to: int) -> np.ndarray:
+    if a.shape[0] == n_to:
+        return a
+    pad = [(0, n_to - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad)
+
+
+def _device_data(data, spec: ModelSpec, row_bucket: int = 512):
+    """Device-resident arrays, row count padded to a bucket so XLA programs
+    are reused across folds/cells (padded rows are never gathered: batch
+    plans index only real rows)."""
+    n = len(np.asarray(data["y"]))
+    n_pad = _bucket(max(n, 1), row_bucket)
+    out = {"y": jnp.asarray(_pad_rows(np.asarray(data["y"], np.int32), n_pad))}
     if "ffnn" in spec.inputs:
-        out["ffnn"] = jnp.asarray(np.asarray(data["ffnn"], np.float32))
+        out["ffnn"] = jnp.asarray(
+            _pad_rows(np.asarray(data["ffnn"], np.float32), n_pad))
     if "cnn" in spec.inputs:
-        out["cnn"] = jnp.asarray(np.asarray(data["cnn"], np.uint8))
+        out["cnn"] = jnp.asarray(
+            _pad_rows(np.asarray(data["cnn"], np.uint8), n_pad))
     return out
+
+
+def _pad_plan(plan, batch_bucket: int = 4, width_bucket: int = 16):
+    """Pad a BatchPlan to bucketed (n_batches, batch_width): dummy batches
+    are fully masked (train step skips their update), and metric sums divide
+    by the real divisor, so results are bit-identical to the unpadded plan."""
+    nb = _bucket(plan.idx.shape[0], batch_bucket)
+    bw = _bucket(plan.idx.shape[1], width_bucket)
+    idx = np.zeros((nb, bw), np.int32)
+    mask = np.zeros((nb, bw), np.float32)
+    idx[:plan.idx.shape[0], :plan.idx.shape[1]] = plan.idx
+    mask[:plan.mask.shape[0], :plan.mask.shape[1]] = plan.mask
+    return idx, mask
 
 
 def fit(spec: ModelSpec,
@@ -222,46 +315,56 @@ def fit(spec: ModelSpec,
                       seed=123)
 
     statics = spec.statics(hp_list) if spec.statics else {}
-    train_epoch, eval_epoch = _make_epoch_fns(spec, cfg, compute_dtype, statics)
-    plan_idx, plan_mask = jnp.asarray(plan.idx), jnp.asarray(plan.mask)
-    tplan_idx, tplan_mask = jnp.asarray(tplan.idx), jnp.asarray(tplan.mask)
+    chunk_fn = _epoch_fns_cached(spec, cfg, compute_dtype, statics)
+    plan_idx, plan_mask = map(jnp.asarray, _pad_plan(plan))
+    tplan_idx, tplan_mask = map(jnp.asarray, _pad_plan(tplan))
 
     trial_keys = jax.random.split(key, n_trials)
-    stoppers = [EarlyStopping(cfg.patience, cfg.delta) for _ in range(n_trials)]
+    es = (jnp.full((n_trials,), -jnp.inf),            # best score
+          jnp.zeros((n_trials,), jnp.int32),          # patience counter
+          jnp.zeros((n_trials,), bool),               # stopped
+          jnp.zeros((n_trials,), jnp.int32))          # epochs run
     pruned = [False] * n_trials
     hist_train = [[] for _ in range(n_trials)]
     hist_test = [[] for _ in range(n_trials)]
     hist_f1 = [[] for _ in range(n_trials)]
 
-    active = np.ones(n_trials, bool)
-    for epoch in range(1, cfg.num_epochs + 1):
-        params, bn_state, opt_state, trial_keys, loss_sum, auprc_sum = \
-            train_epoch(params, bn_state, opt_state, trial_keys,
-                        jnp.asarray(active), hp, opt_hp,
-                        train_data, plan_idx, plan_mask)
-        _, test_auprc_sum, f1_sum = eval_epoch(params, bn_state, hp,
-                                               test_data, tplan_idx, tplan_mask)
-        auprc_tr = np.asarray(auprc_sum) / plan.metric_divisor
-        auprc_te = np.asarray(test_auprc_sum) / tplan.metric_divisor
-        f1 = np.asarray(f1_sum) / tplan.metric_divisor
+    divisor = float(tplan.metric_divisor)
+    done = [False] * n_trials
+    epochs_done = 0
+    while epochs_done < cfg.num_epochs and not all(done):
+        n_ep = min(cfg.epoch_chunk, cfg.num_epochs - epochs_done)
+        (params, bn_state, opt_state, trial_keys, es), outs = chunk_fn(
+            params, bn_state, opt_state, trial_keys, es, hp, opt_hp,
+            train_data, plan_idx, plan_mask,
+            test_data, tplan_idx, tplan_mask, divisor, n_ep)
+        # outs: per-trial [n_ep] sequences (vmap axis leads)
+        _, tr_sum, te_sum, f1_sum, stopped_seq = map(np.asarray, outs)
+        auprc_tr = tr_sum / plan.metric_divisor       # [T, n_ep]
+        auprc_te = te_sum / divisor
+        f1 = f1_sum / divisor                         # [T, n_ep, 3]
 
-        for t in range(n_trials):
-            if not active[t]:
-                continue
-            hist_train[t].append(float(auprc_tr[t]))
-            hist_test[t].append(float(auprc_te[t]))
-            hist_f1[t].append(f1[t].tolist())
-            if report_fn is not None and report_fn(t, epoch, float(auprc_te[t])):
-                pruned[t] = True
-                active[t] = False
-                continue
-            if stoppers[t](float(auprc_te[t])):
-                active[t] = False
+        for e in range(n_ep):
+            epoch = epochs_done + e + 1
+            for t in range(n_trials):
+                if done[t]:
+                    continue
+                # history includes the stop epoch (the reference records the
+                # epoch's scores, then breaks)
+                hist_train[t].append(float(auprc_tr[t, e]))
+                hist_test[t].append(float(auprc_te[t, e]))
+                hist_f1[t].append(f1[t, e].tolist())
+                if report_fn is not None and \
+                        report_fn(t, epoch, float(auprc_te[t, e])):
+                    pruned[t] = True
+                    done[t] = True
+                elif stopped_seq[t, e]:
+                    done[t] = True
         if verbose:
-            print(f"epoch {epoch}: train AUPRC {auprc_tr.round(4)} "
-                  f"test AUPRC {auprc_te.round(4)} active={active.sum()}")
-        if not active.any():
-            break
+            print(f"epochs {epochs_done + 1}-{epochs_done + n_ep}: "
+                  f"test AUPRC {auprc_te[:, -1].round(4)} "
+                  f"done={sum(done)}/{n_trials}")
+        epochs_done += n_ep
 
     return FitResult(
         params=params,

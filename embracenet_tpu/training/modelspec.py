@@ -8,6 +8,7 @@ models (the reference instead has two parallel engines,
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable
 
 import jax.numpy as jnp
@@ -41,7 +42,14 @@ def _seq_input(inputs, compute_dtype):
     return codec.one_hot(inputs["cnn"], dtype=dt)
 
 
+@functools.lru_cache(maxsize=None)
 def get_spec(model: str, in_features_ffnn: int | None = None) -> ModelSpec:
+    """Memoized so repeated calls return the identical ModelSpec object —
+    a prerequisite for reusing jitted epoch functions across fit() calls."""
+    return _build_spec(model, in_features_ffnn)
+
+
+def _build_spec(model: str, in_features_ffnn: int | None = None) -> ModelSpec:
     if model == "FFNN":
         def init(key, hp):
             return ffnn.init(key, hp, in_features_ffnn), {}

@@ -6,9 +6,9 @@ import pytest
 
 from embracenet_tpu.config import TrainConfig
 from embracenet_tpu.hpo import space
-from embracenet_tpu.train import engine
-from embracenet_tpu.train.batching import balanced_plan
-from embracenet_tpu.train.modelspec import get_spec
+from embracenet_tpu.training import engine
+from embracenet_tpu.training.batching import balanced_plan
+from embracenet_tpu.training.modelspec import get_spec
 
 
 def _synthetic_tabular(rng, n=600, d=16, imbalance=0.25):

@@ -1,0 +1,136 @@
+import os
+
+import numpy as np
+import pytest
+
+from embracenet_tpu.config import CVConfig, TrainConfig
+from embracenet_tpu.hpo import space
+from embracenet_tpu.hpo.samplers import get_sampler, sample_n
+from embracenet_tpu.hpo.search import run_search
+from embracenet_tpu.hpo.study import COMPLETE, Study
+from embracenet_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+from embracenet_tpu.training.cv import KfoldCV, checkpoint_name
+from embracenet_tpu.training.modelspec import get_spec
+
+
+def _tabular(rng, n=240, d=10):
+    y = (rng.random(n) < 0.3).astype(np.int64)
+    w = rng.normal(size=d)
+    x = (rng.normal(size=(n, d)) + np.outer(y * 2 - 1, w) * 0.9).astype(np.float32)
+    return {"ffnn": x, "y": y}
+
+
+def test_study_roundtrip_and_resume(tmp_path):
+    db = str(tmp_path / "t.db")
+    s = Study("demo", db)
+    assert s.next_number() == 0
+    s.tell(0, {"lr": 0.01}, 0.5, COMPLETE, {1: 0.3, 2: 0.5})
+    s.tell(1, {"lr": 0.1}, 0.7, COMPLETE, {1: 0.6})
+    s.close()
+    s2 = Study("demo", db)
+    assert len(s2.completed_trials()) == 2
+    assert s2.best_trial.number == 1
+    assert s2.best_trial.params == {"lr": 0.1}
+    assert s2.trials[0].intermediate == {1: 0.3, 2: 0.5}
+    assert s2.next_number() == 2
+    s2.close()
+
+
+@pytest.mark.parametrize("name", ["random", "TPE", "BO"])
+def test_samplers_respect_menus(name):
+    smp = get_sampler(name, seed=1)
+    sp = space.model_space("FFNN")
+    history = [(space.sample_params("FFNN", np.random.default_rng(i)),
+                float(i) / 20) for i in range(15)]
+    for params in sample_n(smp, "FFNN", 4, history):
+        for pname, dist in sp.items():
+            assert pname in params
+            if hasattr(dist, "choices"):
+                assert params[pname] in dist.choices
+        assert 1e-5 <= params["lr"] <= 1e-1
+
+
+def test_sampler_unknown_raises():
+    with pytest.raises(ValueError):
+        get_sampler("CMA")
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    tree = {"a": {"b": rng.normal(size=(3, 4)).astype(np.float32),
+                  "c": np.int32(5)},
+            "d": rng.normal(size=(2,))}
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, {"params": tree}, meta={"model": "FFNN", "x": 1.5})
+    trees, meta = load_checkpoint(path)
+    assert meta == {"model": "FFNN", "x": 1.5}
+    np.testing.assert_array_equal(trees["params"]["a"]["b"], tree["a"]["b"])
+    np.testing.assert_array_equal(trees["params"]["d"], tree["d"])
+
+
+def test_run_search_and_resume(tmp_path, rng):
+    data = _tabular(rng)
+    train = {k: v[:180] for k, v in data.items()}
+    val = {k: v[180:] for k, v in data.items()}
+    spec = get_spec("FFNN", in_features_ffnn=10)
+    db = str(tmp_path / "s.db")
+    cfg = TrainConfig(num_epochs=3, batch_size=60)
+
+    res = run_search(spec, "FFNN", train, val, "st_1", storage=db,
+                     sampler="random", n_trials=2, train_cfg=cfg,
+                     checkpoint_dir=str(tmp_path), seed=0)
+    assert res.n_complete == 2
+    assert np.isfinite(res.best_value)
+    assert res.best_model is not None
+
+    # resume: no new trials, same best
+    res2 = run_search(spec, "FFNN", train, val, "st_1", storage=db,
+                      sampler="random", n_trials=2, train_cfg=cfg,
+                      checkpoint_dir=str(tmp_path), seed=99)
+    assert res2.n_complete == 2
+    assert res2.best_value == res.best_value
+    assert res2.best_params == res.best_params
+
+
+def test_kfold_cv_ffnn_end_to_end(tmp_path, rng):
+    data = _tabular(rng, n=300)
+    cv = KfoldCV()
+    name = checkpoint_name("K562", "FFNN", "active_P_vs_inactive_P", 0)
+    scores = cv(data, "FFNN", task="active_P_vs_inactive_P", cell_line="K562",
+                cv_cfg=CVConfig(n_folds=2, n_trials=2, sampler="random"),
+                train_cfg=TrainConfig(num_epochs=3, batch_size=60),
+                storage=str(tmp_path / "cv.db"),
+                checkpoint_dir=str(tmp_path),
+                test_model_path=name)
+    assert len(scores["final_test_AUPRC_scores"]) == 2
+    assert "iteration_n_1" in scores and "iteration_n_2" in scores
+    assert scores["average_CV_AUPRC"] == pytest.approx(
+        round(sum(scores["final_test_AUPRC_scores"]) / 2, 5))
+    assert os.path.exists(os.path.join(str(tmp_path), name + ".npz"))
+
+    # reload the saved fold-best model and score it (predict/evaluate API)
+    from embracenet_tpu import api
+
+    probs = api.predict(os.path.join(str(tmp_path), name), data)
+    assert probs.shape == (300, 2)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+    ev = api.evaluate(os.path.join(str(tmp_path), name), data)
+    assert 0.0 <= ev["AUPRC"] <= 1.0
+    assert ev["baseline_AUPRC"] >= 0.1
+
+
+def test_results_dict(tmp_path):
+    from embracenet_tpu.training.results import ResultsDict, baseline_auprc
+
+    path = str(tmp_path / "res.json")
+    r = ResultsDict(path)
+    r.update("K562", "t", "FFNN", {"average_CV_AUPRC": 0.42,
+                                   "final_test_AUPRC_scores": [0.4, 0.44]})
+    r.set_baseline("K562", "t", 0.125)
+    r.set_best_augmentation("K562", "t", "double")
+    r.save()
+    r2 = ResultsDict(path)
+    assert r2.get("K562", "t", "FFNN")["average_CV_AUPRC"] == 0.42
+    assert r2.data["K562"]["t"]["baseline_AUPRC"] == 0.125
+    assert r2.data["K562"]["t"]["best_augmentation"] == "double"
+    y = np.array([1] * 2 + [0] * 98)
+    assert baseline_auprc(y) == 0.1  # floored
