@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Benchmark: EmbraceNet training throughput (train windows/sec/chip).
+
+Measures this framework's vmapped-population training of the flagship
+EmbraceNetMultimodal on one chip, and a reference-style torch loop
+(sequential single trial, per-batch INS-weighted CE, model in float64 as the
+reference's ``fit`` casts it — `BIOINF_tesi/models/utils/training_models.py:88`)
+on this host's CPU as the baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Detail goes to stderr.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Persistent XLA compilation cache: compile cost is paid once per program
+# shape, then shared across processes and rounds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def make_data(n, d, rng):
+    y = (rng.random(n) < 0.15).astype(np.int64)
+    w = rng.normal(size=d)
+    x = (rng.normal(size=(n, d)) + np.outer(y * 2 - 1, w) * 0.5).astype(np.float32)
+    codes = rng.integers(0, 4, size=(n, 256)).astype(np.uint8)
+    return {"ffnn": x, "cnn": codes, "y": y}
+
+
+def bench_ours(data_train, data_test, n_trials, epochs, in_features):
+    from embracenet_tpu.config import TrainConfig
+    from embracenet_tpu.hpo import space
+    from embracenet_tpu.training import engine
+    from embracenet_tpu.training.modelspec import get_spec
+
+    spec = get_spec("EmbraceNetMultimodal", in_features_ffnn=in_features)
+    flats = [space.sample_params("EmbraceNetMultimodal",
+                                 np.random.default_rng(i))
+             for i in range(n_trials)]
+    for f in flats:
+        f["CNN_n_layers"] = 4  # worst-case depth: full supernet cost
+    hps = [space.params_to_hp("EmbraceNetMultimodal", f) for f in flats]
+    opts = [space.optimizer_hp(f) for f in flats]
+    cfg = TrainConfig(num_epochs=epochs, epoch_chunk=max(epochs // 2, 1),
+                      batch_size=100, compute_dtype="bfloat16",
+                      patience=10_000)
+
+    t0 = time.time()
+    engine.fit(spec, hps, opts, data_train, data_test, cfg)
+    compile_and_run = time.time() - t0
+    t0 = time.time()
+    res = engine.fit(spec, hps, opts, data_train, data_test, cfg)
+    steady = time.time() - t0
+    ep = len(res.auprc_test[0])
+    n_train = len(data_train["y"])
+    wps = n_trials * n_train * ep / steady
+    print(f"[ours] compile+first {compile_and_run:.1f}s; steady {steady:.2f}s "
+          f"for {n_trials} trials x {ep} epochs x {n_train} windows "
+          f"-> {wps:.0f} windows/s/chip", file=sys.stderr)
+    return wps
+
+
+def bench_torch_reference(data_train, epochs, in_features):
+    """Reference-style loop: one trial, torch CPU, float64 model, per-batch
+    INS-weighted CE, balanced ragged batches of 100."""
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+
+    class Branches(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ffnn = nn.Sequential(nn.Linear(in_features, 128), nn.ReLU(),
+                                      nn.Linear(128, 64), nn.ReLU())
+            convs = []
+            c_in = 4
+            for c_out, k in ((64, 11), (96, 11), (256, 11), (512, 11)):
+                convs += [nn.Conv1d(c_in, c_out, k, padding=(k - 1) // 2),
+                          nn.BatchNorm1d(c_out), nn.ReLU(),
+                          nn.MaxPool1d(10, 2)]
+                c_in = c_out
+            self.cnn = nn.Sequential(*convs)
+            self.dock0 = nn.Linear(64, 1024)
+            self.dock1 = nn.Linear(512 * 8, 1024)
+            self.post = nn.Linear(1024, 2)
+
+        def forward(self, xf, xc):
+            d0 = torch.relu(self.dock0(self.ffnn(xf)))
+            h = self.cnn(xc)
+            d1 = torch.relu(self.dock1(h.reshape(h.shape[0], -1)))
+            p = torch.full((xf.shape[0], 2), 0.5, dtype=xf.dtype)
+            idx = torch.multinomial(p, num_samples=1024, replacement=True)
+            toggles = torch.nn.functional.one_hot(idx, 2).to(xf.dtype)
+            stack = torch.stack([d0, d1], dim=-1)
+            emb = (stack * toggles).sum(-1)
+            return self.post(emb)
+
+    model = Branches().double()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=1e-4)
+    xf = torch.tensor(data_train["ffnn"], dtype=torch.float64)
+    y_np = data_train["y"]
+    eye = np.eye(4, dtype=np.float64)
+    xc = torch.tensor(eye[data_train["cnn"]].transpose(0, 2, 1))
+    yt = torch.tensor(y_np)
+    n = len(y_np)
+
+    t0 = time.time()
+    count = 0
+    for _ in range(epochs):
+        order = np.random.permutation(n)
+        for s in range(0, n, 100):
+            sel = order[s:s + 100]
+            yb = yt[sel]
+            pos = float((yb == 1).sum())
+            neg = float((yb == 0).sum())
+            pi = 1 / pos if pos else 0.0
+            ni = 1 / neg if neg else 0.0
+            w = torch.tensor([ni / (ni + pi), pi / (ni + pi)])
+            crit = nn.CrossEntropyLoss(weight=w)
+            opt.zero_grad()
+            out = model(xf[sel], xc[sel])
+            loss = crit.double()(out.float().double(), yb)
+            loss.backward()
+            opt.step()
+            count += len(sel)
+    dt = time.time() - t0
+    wps = count / dt
+    print(f"[torch-cpu reference-style] {count} windows in {dt:.1f}s "
+          f"-> {wps:.0f} windows/s", file=sys.stderr)
+    return wps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--trials", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--n", type=int, default=4000)
+    args = ap.parse_args()
+    if args.quick:
+        args.trials, args.epochs, args.n = 2, 4, 1000
+
+    rng = np.random.default_rng(0)
+    d = 64
+    data = make_data(args.n + args.n // 4, d, rng)
+    train = {k: v[:args.n] for k, v in data.items()}
+    test = {k: v[args.n:] for k, v in data.items()}
+
+    ours = bench_ours(train, test, args.trials, args.epochs, d)
+    torch_epochs = 1 if not args.quick else 1
+    baseline = bench_torch_reference(
+        {k: v[:min(args.n, 1000)] for k, v in train.items()},
+        torch_epochs, d)
+
+    print(json.dumps({
+        "metric": "train_windows_per_sec_per_chip",
+        "value": round(ours, 1),
+        "unit": "windows/s (EmbraceNet fusion, 8-trial HPO population)",
+        "vs_baseline": round(ours / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

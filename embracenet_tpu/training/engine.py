@@ -277,7 +277,8 @@ def fit(spec: ModelSpec,
         init_params=None,
         init_bn_state=None,
         verbose: bool = False,
-        report_fn=None) -> FitResult:
+        report_fn=None,
+        mesh=None) -> FitResult:
     """Train a population of trials on one (train, test) split.
 
     ``hp_list``/``opt_list``: per-trial concrete hyperparameter dicts
@@ -320,16 +321,41 @@ def fit(spec: ModelSpec,
     tplan_idx, tplan_mask = map(jnp.asarray, _pad_plan(tplan))
 
     trial_keys = jax.random.split(key, n_trials)
-    es = (jnp.full((n_trials,), -jnp.inf),            # best score
-          jnp.zeros((n_trials,), jnp.int32),          # patience counter
-          jnp.zeros((n_trials,), bool),               # stopped
-          jnp.zeros((n_trials,), jnp.int32))          # epochs run
+    # NB: construct from concrete numpy so avals are non-weak from the first
+    # call — weak-typed scalars here caused a silent retrace (and a second
+    # full XLA compile) on the second chunk call.
+    es = (jnp.asarray(np.full(n_trials, -np.inf, np.float32)),  # best score
+          jnp.asarray(np.zeros(n_trials, np.int32)),            # counter
+          jnp.asarray(np.zeros(n_trials, bool)),                # stopped
+          jnp.asarray(np.zeros(n_trials, np.int32)))            # epochs run
+
+    if mesh is not None:
+        # population over 'trial', batch-plan width over 'data', data arrays
+        # replicated; XLA turns the batch-axis reductions (loss weights, BN
+        # stats, metric counts) into ICI all-reduces automatically.
+        from embracenet_tpu.parallel.mesh import (
+            batch_sharding, replicated, trial_sharding)
+
+        n_trial_devs = mesh.shape["trial"]
+        if n_trials % n_trial_devs != 0:
+            raise ValueError(
+                f"population size {n_trials} not divisible by mesh trial "
+                f"axis {n_trial_devs}")
+        ts, bs, rep = trial_sharding(mesh), batch_sharding(mesh), replicated(mesh)
+        params, bn_state, opt_state, hp, opt_hp, trial_keys, es = (
+            jax.device_put(t, ts) for t in
+            (params, bn_state, opt_state, hp, opt_hp, trial_keys, es))
+        train_data = jax.device_put(train_data, rep)
+        test_data = jax.device_put(test_data, rep)
+        plan_idx, plan_mask, tplan_idx, tplan_mask = (
+            jax.device_put(t, bs) for t in
+            (plan_idx, plan_mask, tplan_idx, tplan_mask))
     pruned = [False] * n_trials
     hist_train = [[] for _ in range(n_trials)]
     hist_test = [[] for _ in range(n_trials)]
     hist_f1 = [[] for _ in range(n_trials)]
 
-    divisor = float(tplan.metric_divisor)
+    divisor = np.float32(tplan.metric_divisor)
     done = [False] * n_trials
     epochs_done = 0
     while epochs_done < cfg.num_epochs and not all(done):
