@@ -29,17 +29,27 @@ for _i, _b in enumerate(BASE_ORDER):
     _LUT[ord(_b.upper())] = _i
 
 
-def encode_sequences(seqs, rng: np.random.Generator | int = 0) -> np.ndarray:
+def encode_sequences(seqs, rng: np.random.Generator | int = 0,
+                     native: bool = True) -> np.ndarray:
     """Encode an iterable of equal-length DNA strings to uint8 codes [N, L].
 
     ``n`` bases are replaced with a random base (reference parity:
-    `data_pipe/utils.py:272-274`).
+    `data_pipe/utils.py:272-274`).  Uses the native C++ codec
+    (runtime/ioaccel.cpp) when available; the numpy fallback is identical
+    except for the RNG stream filling unknown bases.
     """
-    if isinstance(rng, (int, np.integer)):
-        rng = np.random.default_rng(int(rng))
     seqs = list(seqs)
     if not seqs:
         return np.zeros((0, 0), dtype=np.uint8)
+    if native:
+        from embracenet_tpu import runtime
+
+        seed = rng if isinstance(rng, (int, np.integer)) else 0
+        out = runtime.encode_sequences_native(seqs, seed=int(seed))
+        if out is not None:
+            return out
+    if isinstance(rng, (int, np.integer)):
+        rng = np.random.default_rng(int(rng))
     length = len(seqs[0])
     buf = np.frombuffer("".join(seqs).encode("ascii"), dtype=np.uint8)
     codes = _LUT[buf].reshape(len(seqs), length)

@@ -36,8 +36,25 @@ class RegionSet:
     coords: pd.DataFrame    # chrom/chromStart/chromEnd per row
 
 
-def read_fasta(path: str, seq_rng=0) -> tuple[np.ndarray, pd.DataFrame]:
-    """Parse the reference's .fa layout -> (codes [N, L] uint8, coords df)."""
+def read_fasta(path: str, seq_rng=0, seq_len: int | None = None
+               ) -> tuple[np.ndarray, pd.DataFrame]:
+    """Parse the reference's .fa layout -> (codes [N, L] uint8, coords df).
+
+    Uses the native C++ parser (runtime/ioaccel.cpp) when the sequence
+    length is fixed and known; falls back to the Python line parser.
+    """
+    if seq_len is not None:
+        from embracenet_tpu import runtime
+
+        parsed = runtime.parse_fasta_native(path, seq_len=seq_len,
+                                            seed=int(seq_rng)
+                                            if isinstance(seq_rng, int) else 0)
+        if parsed is not None:
+            codes, headers = parsed
+            coords = pd.DataFrame(
+                [re.split("[>:-]", h)[1:4] for h in headers],
+                columns=["chrom", "chromStart", "chromEnd"])
+            return codes, coords
     seqs, headers = [], []
     with open(path) as fh:
         for i, line in enumerate(fh):

@@ -78,10 +78,14 @@ def smote_oversample(x: np.ndarray, y: np.ndarray, n_new_pos: int = None,
         if len(xc) < 2:
             raise ValueError(f"SMOTE needs >= 2 samples of class {cls}")
         k = min(k_neighbors, len(xc) - 1)
-        # pairwise distances within the class
-        d2 = ((xc[:, None, :] - xc[None, :, :]) ** 2).sum(-1)
-        np.fill_diagonal(d2, np.inf)
-        nn_idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
+        # k-nearest neighbours within the class (native C++ when available)
+        from embracenet_tpu import runtime
+
+        nn_idx = runtime.knn_native(xc, xc, k, self_exclude=True)
+        if nn_idx is None:
+            d2 = ((xc[:, None, :] - xc[None, :, :]) ** 2).sum(-1)
+            np.fill_diagonal(d2, np.inf)
+            nn_idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
         base = rng.integers(0, len(xc), n_new)
         pick = nn_idx[base, rng.integers(0, k, n_new)]
         gap = rng.random((n_new, 1))

@@ -1,0 +1,245 @@
+"""Analysis & visualisation over the results artifact.
+
+Parity with `BIOINF_tesi/visual/visual.py`:
+  * label-ratio pies (`:32-60`), imbalance-ratio table (`:63-77`);
+  * baseline AUPRC table = prevalence floored at 0.1 (`:81-96`);
+  * per-cell fold-score plots vs baseline (`:100-166`);
+  * average / std AUPRC tables over the 5 models x 5 tasks (`:188-243`);
+  * pairwise model comparison: reload every fold's saved model, score the
+    full dataset, Wilcoxon signed-rank between models per fold, "different
+    if >= 2/3 folds p < 0.05" (`Compare_Models_Result`, `:250-404`);
+  * pooled overall comparison of EmbraceNet vs others across all cellxtask
+    score lists (`compare_model_overall_performance`, `:456-515`).
+
+Plotting needs matplotlib/seaborn and degrades gracefully without them.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+from scipy.stats import ranksums, wilcoxon
+
+from embracenet_tpu import CELL_LINES, TASKS
+from embracenet_tpu.training.results import baseline_auprc
+
+DEFAULT_MODELS = ("FFNN", "CNN", "ConcatNetMultimodal", "EmbraceNetMultimodal",
+                  "EmbraceNetMultimodal_augmentation")
+
+
+def get_imbalance_ratio_df(labels: dict) -> pd.DataFrame:
+    """cells x tasks neg/pos ratio table (`visual.py:63-77`).
+    ``labels``: {task: {cell: y array}}."""
+    out = {}
+    for task, cells in labels.items():
+        out[task] = {c: float((np.asarray(y) == 0).sum() /
+                              max((np.asarray(y) == 1).sum(), 1))
+                     for c, y in cells.items()}
+    return pd.DataFrame(out).round(2)
+
+
+def get_baseline_df(labels: dict) -> pd.DataFrame:
+    """Baseline AUPRC table (`visual.py:81-96`)."""
+    out = {}
+    for task, cells in labels.items():
+        out[task] = {c: baseline_auprc(y) for c, y in cells.items()}
+    return pd.DataFrame(out).round(3)
+
+
+def get_average_auprc_df(results: dict, cell_line: str,
+                         models=DEFAULT_MODELS,
+                         tasks=TASKS) -> pd.DataFrame:
+    """models x tasks table of average_CV_AUPRC (`visual.py:188-219`)."""
+    table = {}
+    for task in tasks:
+        col = {}
+        node = results.get(cell_line, {}).get(task, {})
+        for m in models:
+            entry = node.get(m)
+            col[m] = entry.get("average_CV_AUPRC") if entry else np.nan
+        table[task] = col
+    return pd.DataFrame(table)
+
+
+def get_standard_dev_df(results: dict, cell_line: str,
+                        models=DEFAULT_MODELS, tasks=TASKS) -> pd.DataFrame:
+    """models x tasks std over fold scores (`visual.py:222-243`)."""
+    table = {}
+    for task in tasks:
+        col = {}
+        node = results.get(cell_line, {}).get(task, {})
+        for m in models:
+            entry = node.get(m)
+            scores = entry.get("final_test_AUPRC_scores") if entry else None
+            col[m] = float(np.std(scores)) if scores else np.nan
+        table[task] = col
+    return pd.DataFrame(table)
+
+
+def plot_label_ratio(labels_by_cell: dict, task: str, save_path=None):
+    """Pie grid of class ratios per cell (`visual.py:32-60`)."""
+    import matplotlib.pyplot as plt
+
+    cells = sorted(labels_by_cell)
+    fig, axes = plt.subplots(1, len(cells), figsize=(3 * len(cells), 3))
+    axes = np.atleast_1d(axes)
+    for ax, cell in zip(axes, cells):
+        y = np.asarray(labels_by_cell[cell])
+        ax.pie([(y == 1).sum(), (y == 0).sum()], labels=["pos", "neg"],
+               autopct="%1.1f%%")
+        ax.set_title(cell)
+    fig.suptitle(task)
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    return fig
+
+
+def plot_scores(results: dict, cell_line: str, task: str, model: str,
+                baseline: float | None = None, save_path=None):
+    """Fold train/test AUPRC curves vs baseline line (`visual.py:100-166`)."""
+    import matplotlib.pyplot as plt
+
+    entry = results[cell_line][task][model]
+    folds = sorted(k for k in entry if k.startswith("iteration_n_"))
+    fig, axes = plt.subplots(1, len(folds), figsize=(4 * len(folds), 3),
+                             sharey=True)
+    axes = np.atleast_1d(axes)
+    for ax, fold in zip(axes, folds):
+        ax.plot(entry[fold]["AUPRC_train"], label="train")
+        ax.plot(entry[fold]["AUPRC_test"], label="test")
+        if baseline is None:
+            baseline = results[cell_line][task].get("baseline_AUPRC")
+        if baseline is not None:
+            ax.axhline(baseline, color="gray", ls="--", label="baseline")
+        ax.set_title(fold)
+        ax.set_xlabel("epoch")
+    axes[0].set_ylabel("AUPRC")
+    axes[0].legend()
+    fig.suptitle(f"{cell_line} / {task} / {model}")
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    return fig
+
+
+# ---------------------------------------------------------------------------
+# model comparison (Compare_Models_Result parity)
+# ---------------------------------------------------------------------------
+
+class CompareModelsResult:
+    """Pairwise per-fold Wilcoxon signed-rank between models' P(class=1)
+    over the full dataset; models "different" if >= threshold fraction of
+    folds have p < alpha (`visual.py:250-404`; the reference uses 2/3)."""
+
+    def __init__(self, checkpoint_dir: str = "models", n_folds: int = 3,
+                 alpha: float = 0.05, majority: float = 2 / 3):
+        self.checkpoint_dir = checkpoint_dir
+        self.n_folds = n_folds
+        self.alpha = alpha
+        self.majority = majority
+
+    def _predictions(self, cell, model, task, fold, data, augmentation=False):
+        from embracenet_tpu.models.reload import load_model
+        from embracenet_tpu.training.cv import checkpoint_name
+
+        name = checkpoint_name(cell, model, task, fold, augmentation)
+        path = os.path.join(self.checkpoint_dir, name)
+        return load_model(path).predict_proba_positive(data)
+
+    def __call__(self, data_by_cell: dict, task: str,
+                 models=("FFNN", "CNN", "ConcatNetMultimodal",
+                         "EmbraceNetMultimodal")) -> dict:
+        """``data_by_cell``: {cell: data dict}.  Returns
+        {cell: {(m1, m2): {"pvalues": [...], "different": bool}}}."""
+        out = {}
+        for cell, data in data_by_cell.items():
+            pair_res = {}
+            preds = {}
+            for m in models:
+                preds[m] = [self._predictions(cell, m, task, f, data)
+                            for f in range(self.n_folds)]
+            for i, m1 in enumerate(models):
+                for m2 in models[i + 1:]:
+                    pvals = []
+                    for f in range(self.n_folds):
+                        diff = preds[m1][f] - preds[m2][f]
+                        if np.allclose(diff, 0):
+                            pvals.append(1.0)
+                        else:
+                            _, p = wilcoxon(preds[m1][f], preds[m2][f])
+                            pvals.append(float(p))
+                    n_sig = sum(p < self.alpha for p in pvals)
+                    pair_res[(m1, m2)] = {
+                        "pvalues": pvals,
+                        "different": n_sig >= self.majority * self.n_folds,
+                    }
+            out[cell] = pair_res
+        return out
+
+    def save(self, result: dict, path: str):
+        with open(path, "wb") as fh:
+            pickle.dump(result, fh)
+
+
+def compare_model_overall_performance(results: dict,
+                                      model: str = "EmbraceNetMultimodal",
+                                      others=("FFNN", "CNN",
+                                              "ConcatNetMultimodal"),
+                                      tasks=TASKS,
+                                      cells=CELL_LINES) -> pd.DataFrame:
+    """Pooled Wilcoxon rank-sum of all cellxtask fold scores: ``model`` vs
+    each other model, two-sided and one-sided (`visual.py:456-515`)."""
+    def pooled(m):
+        scores = []
+        for c in cells:
+            for t in tasks:
+                entry = results.get(c, {}).get(t, {}).get(m)
+                if entry and entry.get("final_test_AUPRC_scores"):
+                    scores.extend(entry["final_test_AUPRC_scores"])
+        return np.asarray(scores)
+
+    base = pooled(model)
+    rows = {}
+    for other in others:
+        vs = pooled(other)
+        if len(base) == 0 or len(vs) == 0:
+            rows[other] = {"two_sided_p": np.nan, "greater_p": np.nan,
+                           "n": 0}
+            continue
+        _, p2 = ranksums(base, vs)
+        _, pg = ranksums(base, vs, alternative="greater")
+        rows[other] = {"two_sided_p": float(p2), "greater_p": float(pg),
+                       "n": min(len(base), len(vs))}
+    return pd.DataFrame(rows).T
+
+
+def select_augmented_models(results: dict, cell_line: str, task: str,
+                            checkpoint_dir: str = "models",
+                            n_folds: int = 3) -> str:
+    """Pick the better FFNN rebalancing variant (smote vs double) by
+    Wilcoxon rank-sum over fold AUPRCs and copy its fold checkpoints to the
+    canonical names (`models/utils/utils.py:302-353`).  Returns the winner.
+    """
+    import shutil
+
+    from embracenet_tpu.training.cv import checkpoint_name
+
+    node = results.get(cell_line, {}).get(task, {})
+    smote = node.get("FFNN_smote", {}).get("final_test_AUPRC_scores")
+    double = node.get("FFNN_double", {}).get("final_test_AUPRC_scores")
+    if not smote or not double:
+        raise ValueError("need FFNN_smote and FFNN_double entries to compare")
+    _, p = ranksums(smote, double)
+    winner = "double" if (p >= 0.05 and np.mean(double) >= np.mean(smote)) \
+        or (p < 0.05 and np.mean(double) > np.mean(smote)) else "smote"
+    for fold in range(n_folds):
+        src = os.path.join(checkpoint_dir, checkpoint_name(
+            cell_line, f"FFNN_{winner}", task, fold) + ".npz")
+        dst = os.path.join(checkpoint_dir, checkpoint_name(
+            cell_line, "FFNN", task, fold) + ".npz")
+        if os.path.exists(src):
+            shutil.copy(src, dst)
+    return winner

@@ -1,0 +1,88 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from embracenet_tpu.visual import report
+
+
+@pytest.fixture
+def results():
+    def entry(avg, scores):
+        return {
+            "average_CV_AUPRC": avg,
+            "final_test_AUPRC_scores": scores,
+            "iteration_n_1": {"AUPRC_train": [0.2, 0.3],
+                              "AUPRC_test": [0.25, 0.31],
+                              "F1_precision_recall": [[0.5, 0.5, 0.5]] * 2},
+        }
+
+    return {
+        "K562": {
+            "active_P_vs_inactive_P": {
+                "FFNN": entry(0.34, [0.3, 0.35, 0.37]),
+                "CNN": entry(0.24, [0.2, 0.25, 0.27]),
+                "EmbraceNetMultimodal": entry(0.27, [0.25, 0.27, 0.29]),
+                "ConcatNetMultimodal": entry(0.33, [0.3, 0.33, 0.36]),
+                "baseline_AUPRC": 0.125,
+            },
+        },
+    }
+
+
+def test_imbalance_and_baseline_tables(rng):
+    labels = {"t1": {"K562": np.array([1] * 10 + [0] * 90),
+                     "H1": np.array([1] * 30 + [0] * 70)}}
+    imb = report.get_imbalance_ratio_df(labels)
+    assert imb.loc["K562", "t1"] == 9.0
+    base = report.get_baseline_df(labels)
+    assert base.loc["K562", "t1"] == 0.1   # floored
+    assert base.loc["H1", "t1"] == 0.3
+
+
+def test_average_and_std_tables(results):
+    avg = report.get_average_auprc_df(results, "K562",
+                                      tasks=["active_P_vs_inactive_P"])
+    assert avg.loc["FFNN", "active_P_vs_inactive_P"] == 0.34
+    assert np.isnan(avg.loc["EmbraceNetMultimodal_augmentation",
+                            "active_P_vs_inactive_P"])
+    std = report.get_standard_dev_df(results, "K562",
+                                     tasks=["active_P_vs_inactive_P"])
+    assert std.loc["CNN", "active_P_vs_inactive_P"] == pytest.approx(
+        np.std([0.2, 0.25, 0.27]))
+
+
+def test_overall_performance(results):
+    df = report.compare_model_overall_performance(
+        results, tasks=["active_P_vs_inactive_P"], cells=["K562"])
+    assert set(df.index) == {"FFNN", "CNN", "ConcatNetMultimodal"}
+    assert (df["two_sided_p"] <= 1).all()
+
+
+def test_plots_render(results, tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    fig = report.plot_scores(results, "K562", "active_P_vs_inactive_P",
+                             "FFNN", save_path=str(tmp_path / "s.png"))
+    assert (tmp_path / "s.png").exists()
+    labels = {"K562": np.array([1, 0, 0, 1]), "H1": np.array([0, 0, 1, 1])}
+    report.plot_label_ratio(labels, "t", save_path=str(tmp_path / "p.png"))
+    assert (tmp_path / "p.png").exists()
+
+
+def test_select_augmented_models(tmp_path, results):
+    from embracenet_tpu.training.checkpoint import save_checkpoint
+    from embracenet_tpu.training.cv import checkpoint_name
+
+    res = {"K562": {"t": {
+        "FFNN_smote": {"final_test_AUPRC_scores": [0.2, 0.22, 0.21]},
+        "FFNN_double": {"final_test_AUPRC_scores": [0.4, 0.42, 0.41]},
+    }}}
+    for fold in range(3):
+        save_checkpoint(
+            str(tmp_path / checkpoint_name("K562", "FFNN_double", "t", fold)),
+            {"params": {"w": np.zeros(2)}}, meta={"model": "FFNN"})
+    winner = report.select_augmented_models(res, "K562", "t",
+                                            checkpoint_dir=str(tmp_path))
+    assert winner == "double"
+    assert (tmp_path / (checkpoint_name("K562", "FFNN", "t", 0) + ".npz")).exists()
