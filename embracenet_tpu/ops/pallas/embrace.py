@@ -1,0 +1,157 @@
+"""Fused EmbraceNet embracement as a Pallas TPU kernel.
+
+Reference semantics (`BIOINF_tesi/models/EmbraceNetMultimodal.py:34-88`):
+dock each modality with Linear+ReLU, draw an iid modality index per output
+feature from the per-row selection probabilities, and keep that modality's
+docked value.  The torch implementation materialises a ``[B, c, m]`` one-hot
+stack in HBM; here *both* docking matmuls, the ReLU, the per-feature
+Bernoulli draw (on-chip PRNG) and the select run in one VMEM-resident kernel,
+so the only HBM traffic is inputs, weights and the ``[B, E]`` result (plus
+the choose mask saved for the backward pass).
+
+Two modalities (this pipeline's case): the categorical collapses to a
+per-feature Bernoulli with probability ``p0[row]`` for modality 0.
+
+Backward is ordinary XLA (the select makes it three masked matmuls); the
+kernel carries a custom VJP so ``jax.grad`` works through it.  Tests compare
+against the unfused path at the probability extremes (exact) and mid-range
+(distributional) in interpreter mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(seed_ref, x0_ref, x1_ref, w0_ref, b0_ref, w1_ref, b1_ref,
+            p0_ref, emask_ref, out_ref, choose_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    pltpu.prng_seed(seed_ref[0] + i * n_j + j)
+
+    d0 = jnp.maximum(
+        jnp.dot(x0_ref[:], w0_ref[:], preferred_element_type=jnp.float32)
+        + b0_ref[0, :], 0.0)
+    d1 = jnp.maximum(
+        jnp.dot(x1_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[0, :], 0.0)
+
+    bits = pltpu.prng_random_bits(d0.shape)
+    # uint32 -> uniform [0, 1): keep the top 24 bits for an exact float
+    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    choose0 = u < p0_ref[:, 0:1]
+    out = jnp.where(choose0, d0, d1) * emask_ref[0, :]
+    out_ref[:] = out
+    choose_ref[:] = choose0.astype(jnp.float32)
+
+
+def _pad_to(x, axis, mult):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _fused_fwd_raw(x0, x1, w0, b0, w1, b1, p0, e_mask, seed,
+                   block_b: int = 128, block_e: int = 128,
+                   interpret: bool = False, operand_dtype=jnp.bfloat16):
+    if interpret is True:
+        # boolean interpret lacks TPU-primitive (prng_*) rules off-TPU;
+        # InterpretParams carries the TPU interpreter
+        interpret = pltpu.InterpretParams()
+        operand_dtype = jnp.float32  # interpreter numerics for exact tests
+    b, d0_in = x0.shape
+    d1_in = x1.shape[1]
+    e = w0.shape[1]
+    # bf16 operands keep the [block_b, 7936] activation and [7936, block_e]
+    # weight tiles inside the 16 MB VMEM budget (f32 OOMs); MXU accumulates
+    # the dot in f32 via preferred_element_type.
+    x0p = _pad_to(x0.astype(operand_dtype), 0, block_b)
+    x1p = _pad_to(x1.astype(operand_dtype), 0, block_b)
+    p0p = _pad_to(p0.reshape(-1, 1).astype(jnp.float32), 0, block_b)
+    bp = x0p.shape[0]
+    grid = (bp // block_b, e // block_e)
+
+    out, choose = pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_b, d0_in), lambda i, j, s: (i, 0)),
+                pl.BlockSpec((block_b, d1_in), lambda i, j, s: (i, 0)),
+                pl.BlockSpec((d0_in, block_e), lambda i, j, s: (0, j)),
+                pl.BlockSpec((1, block_e), lambda i, j, s: (0, j)),
+                pl.BlockSpec((d1_in, block_e), lambda i, j, s: (0, j)),
+                pl.BlockSpec((1, block_e), lambda i, j, s: (0, j)),
+                pl.BlockSpec((block_b, 1), lambda i, j, s: (i, 0)),
+                pl.BlockSpec((1, block_e), lambda i, j, s: (0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_b, block_e), lambda i, j, s: (i, j)),
+                pl.BlockSpec((block_b, block_e), lambda i, j, s: (i, j)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, e), jnp.float32),
+            jax.ShapeDtypeStruct((bp, e), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32),
+      x0p, x1p,
+      w0.astype(operand_dtype), b0.reshape(1, -1).astype(jnp.float32),
+      w1.astype(operand_dtype), b1.reshape(1, -1).astype(jnp.float32),
+      p0p, e_mask.reshape(1, -1).astype(jnp.float32))
+    return out[:b], choose[:b]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_embrace(x0, x1, w0, b0, w1, b1, p0, e_mask, seed,
+                  interpret=False):
+    """Fused docking + stochastic embracement.
+
+    x0 [B, D0], x1 [B, D1]; w0 [D0, E], w1 [D1, E]; p0 [B] prob of picking
+    modality 0 per feature; e_mask [E] embracement-size mask; seed int32.
+    Returns [B, E].
+    """
+    out, _ = _fused_fwd_raw(x0, x1, w0, b0, w1, b1, p0, e_mask, seed,
+                            interpret=interpret)
+    return out
+
+
+def _fwd(x0, x1, w0, b0, w1, b1, p0, e_mask, seed, interpret):
+    out, choose = _fused_fwd_raw(x0, x1, w0, b0, w1, b1, p0, e_mask, seed,
+                                 interpret=interpret)
+    return out, (x0, x1, w0, b0, w1, b1, e_mask, choose, out)
+
+
+def _bwd(seed, interpret, res, g):
+    x0, x1, w0, b0, w1, b1, e_mask, choose, out = res
+    g = g * e_mask[None, :]
+    # out = choose * relu(x0 w0 + b0) + (1-choose) * relu(x1 w1 + b1)
+    # relu' = out > 0 where the branch was selected (out holds the selected
+    # branch's value, masked)
+    relu_live = (out > 0).astype(g.dtype)
+    g0 = g * choose * relu_live
+    g1 = g * (1.0 - choose) * relu_live
+    dx0 = g0 @ w0.T
+    dw0 = x0.T @ g0
+    db0 = g0.sum(0)
+    dx1 = g1 @ w1.T
+    dw1 = x1.T @ g1
+    db1 = g1.sum(0)
+    dp0 = jnp.zeros(x0.shape[:1], x0.dtype)  # sampling is not differentiated
+    demask = jnp.zeros_like(e_mask)
+    return dx0, dx1, dw0, db0, dw1, db1, dp0, demask
+
+
+fused_embrace.defvjp(_fwd, _bwd)
