@@ -68,6 +68,10 @@ CONCAT_POST_WIDTH_MENUS: tuple[tuple[int, ...], ...] = (
 )
 CONCAT_POST_DROPOUT_MENU: tuple[float, ...] = (0.0, 0.2, 0.3, 0.5)
 
+CNN_LSTM_MAX_LAYERS = 2             # CNN_LSTM_net.py:25 (1-2 conv blocks)
+CNN_LSTM_HIDDEN_MENU: tuple[int, ...] = (32, 64, 128)
+CNN_LSTM_MAX_LSTM_LAYERS = 2
+
 OPTIMIZER_MENU: tuple[str, ...] = ("Nadam", "Adam", "RMSprop")
 LR_RANGE = (1e-5, 1e-1)             # loguniform
 WEIGHT_DECAY_RANGE = (1e-4, 1e-1)   # loguniform

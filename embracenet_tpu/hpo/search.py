@@ -91,19 +91,36 @@ def run_search(spec: ModelSpec,
                 pruned_flags[t] = True
             return do
 
-        result = engine.fit(spec, hp_list, opt_list, data_train, data_val,
-                            train_cfg, key=jax.random.PRNGKey(seed),
-                            verbose=verbose, report_fn=report_fn)
+        if spec.vmappable:
+            result = engine.fit(spec, hp_list, opt_list, data_train, data_val,
+                                train_cfg, key=jax.random.PRNGKey(seed),
+                                verbose=verbose, report_fn=report_fn)
+            per_trial = [(jax.tree.map(lambda a, i=t: np.asarray(a)[i],
+                                       (result.params, result.bn_state)),
+                          result.auprc_test[t]) for t in range(remaining)]
+        else:
+            # trial shapes differ (e.g. CNN_LSTM): run sequentially
+            per_trial = []
+            for t in range(remaining):
+                r = engine.fit(spec, [hp_list[t]], [opt_list[t]], data_train,
+                               data_val, train_cfg,
+                               key=jax.random.PRNGKey(seed + t),
+                               verbose=verbose,
+                               report_fn=(lambda _t, e, v, t=t:
+                                          report_fn(t, e, v))
+                               if report_fn else None)
+                per_trial.append((jax.tree.map(lambda a: np.asarray(a)[0],
+                                               (r.params, r.bn_state)),
+                                  r.auprc_test[0]))
 
         for t in range(remaining):
-            value = result.auprc_test[t][-1] if result.auprc_test[t] else 0.0
+            value = per_trial[t][1][-1] if per_trial[t][1] else 0.0
             state = PRUNED if pruned_flags[t] else COMPLETE
             study.tell(numbers[t], flat_list[t],
                        None if pruned_flags[t] else value,
                        state, intermediates[t])
             if checkpoint_dir and not pruned_flags[t]:
-                trial_tree = jax.tree.map(lambda a, i=t: np.asarray(a)[i],
-                                          (result.params, result.bn_state))
+                trial_tree = per_trial[t][0]
                 save_checkpoint(
                     os.path.join(checkpoint_dir, f"{study_name}{numbers[t]}"),
                     {"params": trial_tree[0], "bn_state": trial_tree[1]},

@@ -83,12 +83,26 @@ def _optimizer_space() -> dict[str, Any]:
     }
 
 
+def _cnn_lstm_space() -> dict[str, Any]:
+    """CNN_LSTM_net.py:25-72: 1-2 conv blocks + tuned LSTM."""
+    s: dict[str, Any] = {"n_layers": IntUniform(1, C.CNN_LSTM_MAX_LAYERS)}
+    for i in range(C.CNN_LSTM_MAX_LAYERS):
+        s[f"out_channels_l{i}"] = Categorical(C.CNN_CHANNEL_MENUS[i])
+        s[f"kernel_size_l{i}"] = Categorical(C.CNN_KERNEL_MENU)
+        s[f"dropout_l{i}"] = Categorical(C.CNN_DROPOUT_MENUS[i])
+    s["LSTM_hidden_layer_size"] = Categorical(C.CNN_LSTM_HIDDEN_MENU)
+    s["LSTM_n_layers"] = IntUniform(1, C.CNN_LSTM_MAX_LSTM_LAYERS)
+    return s
+
+
 def model_space(model: str) -> dict[str, Any]:
     """Full search space (architecture + optimizer) for a model family."""
     if model == "FFNN":
         return {**_ffnn_space(), **_optimizer_space()}
     if model == "CNN":
         return {**_cnn_space(), **_optimizer_space()}
+    if model == "CNN_LSTM":
+        return {**_cnn_lstm_space(), **_optimizer_space()}
     if model == "EmbraceNetMultimodal":
         s = {**_ffnn_space("FFNN_"), **_cnn_space("CNN_")}
         s["EMBRACENET_embracement_size"] = Categorical(C.EMBRACE_SIZE_MENU)
@@ -153,6 +167,21 @@ def params_to_hp(model: str, params: dict) -> dict:
         return _ffnn_hp(params)
     if model == "CNN":
         return _cnn_hp(params)
+    if model == "CNN_LSTM":
+        return {
+            "n_layers": np.int32(params["n_layers"]),
+            "channels": np.asarray(
+                [params.get(f"out_channels_l{i}", C.CNN_CHANNEL_MENUS[i][0])
+                 for i in range(C.CNN_LSTM_MAX_LAYERS)], np.int32),
+            "kernels": np.asarray(
+                [params.get(f"kernel_size_l{i}", C.CNN_KERNEL_MENU[0])
+                 for i in range(C.CNN_LSTM_MAX_LAYERS)], np.int32),
+            "dropout": np.asarray(
+                [params.get(f"dropout_l{i}", 0.0)
+                 for i in range(C.CNN_LSTM_MAX_LAYERS)], np.float32),
+            "lstm_hidden": np.int32(params["LSTM_hidden_layer_size"]),
+            "lstm_layers": np.int32(params["LSTM_n_layers"]),
+        }
     if model == "EmbraceNetMultimodal":
         return {
             "ffnn": _ffnn_hp(params, "FFNN_"),

@@ -13,10 +13,13 @@ from typing import Callable
 
 import jax.numpy as jnp
 
-from embracenet_tpu.data import codec
-from embracenet_tpu.models import cnn, concatnet, embracenet, ffnn
+import numpy as np
 
-MODEL_FAMILIES = ("FFNN", "CNN", "EmbraceNetMultimodal", "ConcatNetMultimodal")
+from embracenet_tpu.data import codec
+from embracenet_tpu.models import cnn, cnn_lstm, concatnet, embracenet, ffnn
+
+MODEL_FAMILIES = ("FFNN", "CNN", "CNN_LSTM", "EmbraceNetMultimodal",
+                  "ConcatNetMultimodal")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -27,6 +30,8 @@ class ModelSpec:
     apply: Callable        # (params, bn_state, hp, inputs, train, key,
     #                         row_mask, compute_dtype, statics) -> (logits, bn)
     statics: Callable = None   # hp_list -> dict of static compile knobs
+    vmappable: bool = True     # False: shapes vary per trial; HPO runs
+    #                            trials sequentially (e.g. CNN_LSTM)
 
 
 def _cnn_statics(hp_list, key="cnn"):
@@ -106,5 +111,42 @@ def _build_spec(model: str, in_features_ffnn: int | None = None) -> ModelSpec:
                                    cnn_max_depth=md)
 
         return ModelSpec(model, ("ffnn", "cnn"), init, apply, _cnn_statics)
+
+    if model == "CNN_LSTM":
+        def _arch(hp):
+            return (int(hp["n_layers"]), tuple(int(c) for c in hp["channels"]),
+                    tuple(int(k) for k in hp["kernels"]),
+                    tuple(float(d) for d in hp["dropout"]),
+                    int(hp["lstm_hidden"]), int(hp["lstm_layers"]))
+
+        def statics(hp_list):
+            archs = {_arch(hp) for hp in hp_list}
+            if len(archs) != 1:
+                raise ValueError("CNN_LSTM populations must share one "
+                                 "architecture (shapes are trial-specific); "
+                                 "run trials sequentially")
+            a = archs.pop()
+            return {"cnn_lstm_arch": a}
+
+        def _hp_from_arch(a):
+            return {"n_layers": a[0],
+                    "channels": np.asarray(a[1], np.int32),
+                    "kernels": np.asarray(a[2], np.int32),
+                    "dropout": np.asarray(a[3], np.float32),
+                    "lstm_hidden": a[4], "lstm_layers": a[5]}
+
+        def init(key, hp):
+            return cnn_lstm.init(key, hp)
+
+        def apply(params, bn_state, hp, inputs, train, key, row_mask,
+                  compute_dtype, statics=None):
+            x = _seq_input(inputs, compute_dtype)
+            hp_concrete = _hp_from_arch(statics["cnn_lstm_arch"])
+            return cnn_lstm.apply(params, bn_state, hp_concrete, x,
+                                  train=train, key=key, row_mask=row_mask,
+                                  compute_dtype=compute_dtype)
+
+        return ModelSpec(model, ("cnn",), init, apply, statics,
+                         vmappable=False)
 
     raise ValueError(f"unknown model family: {model} (use one of {MODEL_FAMILIES})")

@@ -150,3 +150,32 @@ def test_weight_reset_keeps_bn(rng):
                                   np.asarray(params["bn0"]["scale"]))
     assert not np.array_equal(np.asarray(new_params["conv_w0"]),
                               np.asarray(params["conv_w0"]))
+
+
+def test_cnn_lstm_fit_smoke(rng):
+    """CNN_LSTM family (sequential-trial path) trains end-to-end."""
+    data = _synthetic_seq(rng, n=120)
+    train = {k: v[:90] for k, v in data.items()}
+    test = {k: v[90:] for k, v in data.items()}
+    spec = get_spec("CNN_LSTM")
+    hp = space.params_to_hp("CNN_LSTM", {
+        "n_layers": 1, "out_channels_l0": 16, "kernel_size_l0": 5,
+        "dropout_l0": 0.0, "LSTM_hidden_layer_size": 32, "LSTM_n_layers": 1,
+    })
+    opt = {"optimizer": np.int32(0), "lr": np.float32(1e-3),
+           "weight_decay": np.float32(1e-4)}
+    cfg = TrainConfig(num_epochs=2, epoch_chunk=2, batch_size=45)
+    res = engine.fit(spec, [hp], [opt], train, test, cfg)
+    assert np.isfinite(res.final_test_auprc[0])
+
+
+def test_cnn_lstm_mixed_population_rejected(rng):
+    spec = get_spec("CNN_LSTM")
+    hp1 = space.params_to_hp("CNN_LSTM", {
+        "n_layers": 1, "out_channels_l0": 16, "kernel_size_l0": 5,
+        "dropout_l0": 0.0, "LSTM_hidden_layer_size": 32, "LSTM_n_layers": 1})
+    hp2 = space.params_to_hp("CNN_LSTM", {
+        "n_layers": 1, "out_channels_l0": 32, "kernel_size_l0": 5,
+        "dropout_l0": 0.0, "LSTM_hidden_layer_size": 32, "LSTM_n_layers": 1})
+    with pytest.raises(ValueError):
+        spec.statics([hp1, hp2])

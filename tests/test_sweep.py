@@ -1,0 +1,43 @@
+import numpy as np
+import pytest
+
+from embracenet_tpu.config import CVConfig, TrainConfig
+from embracenet_tpu import sweep
+
+
+def test_load_baseline_md_parses_reference_table():
+    ref = sweep.load_baseline_md("BASELINE.md")
+    # anchors from SURVEY.md §6
+    assert ref[("K562", "active_P_vs_inactive_P", "FFNN")] == 0.3419
+    assert ref[("K562", "active_E_vs_active_P", "CNN")] == 0.6497
+    assert ref[("K562", "active_E_vs_active_P", "EmbraceNet_augm")] == 0.7849
+    assert ref[("HEPG2", "inactive_E_vs_inactive_P", "EmbraceNet")] == 0.5738
+    # 35 rows x 6 columns
+    assert len(ref) == 35 * 6
+
+
+def test_run_sweep_and_parity_report(tmp_path, rng):
+    def data_fn(cell, task):
+        n, d = 220, 8
+        r = np.random.default_rng(hash((cell, task)) % 2**31)
+        y = (r.random(n) < 0.3).astype(np.int64)
+        w = r.normal(size=d)
+        x = (r.normal(size=(n, d)) + np.outer(y * 2 - 1, w)).astype(np.float32)
+        return {"ffnn": x, "y": y}
+
+    results = sweep.run_sweep(
+        data_fn=data_fn, cells=["K562"], tasks=["active_P_vs_inactive_P"],
+        models=("FFNN",),
+        cv_cfg=CVConfig(n_folds=2, n_trials=1, sampler="random"),
+        train_cfg=TrainConfig(num_epochs=2, epoch_chunk=2, batch_size=60),
+        results_path=str(tmp_path / "res.json"),
+        storage=str(tmp_path / "s.db"),
+        checkpoint_dir=str(tmp_path), verbose=False)
+    entry = results.get("K562", "active_P_vs_inactive_P", "FFNN")
+    assert "average_CV_AUPRC" in entry
+    report = sweep.parity_report(results, "BASELINE.md")
+    row = report[(report.cell == "K562") &
+                 (report.task == "active_P_vs_inactive_P") &
+                 (report.model == "FFNN")].iloc[0]
+    assert row["ours"] == entry["average_CV_AUPRC"]
+    assert row["reference"] == 0.3419
