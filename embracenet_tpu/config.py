@@ -95,6 +95,11 @@ class TrainConfig:
     compute_dtype: str = "float32"  # "bfloat16" for MXU speed
     seed: int = 789                 # Kfold_CV random_state default
     epoch_chunk: int = 10           # epochs per device call (dispatch batching)
+    cnn_full_depth: bool = False    # compile the conv stack at max depth so
+    #                                 every trial population shares one program
+    pad_ffnn_features: int | None = None  # pad tabular features to a fixed
+    #                                 width -> one compiled program across
+    #                                 cell lines (zero columns are inert)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -111,6 +111,16 @@ class KfoldCV:
                 raise ValueError(f"model {model} requires data view {v!r}")
         y = np.asarray(data["y"])
         n = len(y)
+        if "ffnn" in views and train_cfg.pad_ffnn_features:
+            d = np.asarray(data["ffnn"]).shape[1]
+            if d > train_cfg.pad_ffnn_features:
+                raise ValueError(f"{d} features exceed pad_ffnn_features="
+                                 f"{train_cfg.pad_ffnn_features}")
+            if d < train_cfg.pad_ffnn_features:
+                data = dict(data)
+                data["ffnn"] = np.pad(
+                    np.asarray(data["ffnn"]),
+                    ((0, 0), (0, train_cfg.pad_ffnn_features - d)))
         in_features = (np.asarray(data["ffnn"]).shape[1]
                        if "ffnn" in views else None)
         spec = get_spec(model, in_features_ffnn=in_features)

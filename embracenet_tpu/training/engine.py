@@ -316,6 +316,10 @@ def fit(spec: ModelSpec,
                       seed=123)
 
     statics = spec.statics(hp_list) if spec.statics else {}
+    if cfg.cnn_full_depth and "cnn_max_depth" in statics:
+        from embracenet_tpu.config import CNN_MAX_LAYERS
+
+        statics["cnn_max_depth"] = CNN_MAX_LAYERS
     chunk_fn = _epoch_fns_cached(spec, cfg, compute_dtype, statics)
     plan_idx, plan_mask = map(jnp.asarray, _pad_plan(plan))
     tplan_idx, tplan_mask = map(jnp.asarray, _pad_plan(tplan))

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""North-star demonstration: 7-cell-line EmbraceNet train+eval sweep.
+
+BASELINE.json target: "full 7-cell-line EmbraceNet train+eval sweep on a
+v5e-8 in under 10 minutes with AUPRC parity".  This script runs the sweep at
+reference scale (~100k windows/cell, task T2-like) on however many chips are
+attached, with one compiled program shared across all cells (uniform feature
+padding + full-depth conv stack + shape bucketing), and reports wall-clock
+plus the per-chip scaling math for a v5e-8.
+
+Synthetic data carries a planted signal so learning is observable; swap in
+``sweep.preprocess_all`` pipelines for real data.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+from embracenet_tpu import CELL_LINES  # noqa: E402
+from embracenet_tpu.config import CVConfig, TrainConfig  # noqa: E402
+from embracenet_tpu import sweep  # noqa: E402
+
+
+def synthetic_cell(cell: str, n: int, d: int, imbalance: float = 0.125):
+    r = np.random.default_rng(abs(hash(cell)) % 2**31)
+    y = (r.random(n) < imbalance).astype(np.int64)
+    w = r.normal(size=d)
+    x = (r.normal(size=(n, d)) + np.outer(y * 2 - 1, w) * 0.4).astype(np.float32)
+    codes = r.integers(0, 4, size=(n, 256)).astype(np.uint8)
+    motif = np.array([0, 1, 2, 3, 3, 2, 1, 0, 0, 1], np.uint8)
+    for i in np.flatnonzero(y):
+        p = r.integers(0, 246)
+        codes[i, p:p + 10] = motif
+    return {"ffnn": x, "cnn": codes, "y": y}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--windows", type=int, default=100_000,
+                    help="windows per cell line (T2 scale ~= 99,881)")
+    ap.add_argument("--features", type=int, default=128)
+    ap.add_argument("--cells", type=int, default=7)
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--folds", type=int, default=3)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--out", default="sweep_bench.json")
+    args = ap.parse_args()
+
+    cells = CELL_LINES[:args.cells]
+    task = "active_P_vs_inactive_P"
+    data_cache = {c: synthetic_cell(c, args.windows, args.features)
+                  for c in cells}
+
+    train_cfg = TrainConfig(
+        num_epochs=args.epochs, epoch_chunk=10, batch_size=100,
+        compute_dtype="bfloat16", cnn_full_depth=True,
+        pad_ffnn_features=args.features)
+    cv_cfg = CVConfig(n_folds=args.folds, n_trials=args.trials,
+                      sampler="TPE")
+
+    t0 = time.time()
+    results = sweep.run_sweep(
+        data_fn=lambda cell, _task: data_cache[cell],
+        cells=cells, tasks=[task], models=("EmbraceNetMultimodal",),
+        cv_cfg=cv_cfg, train_cfg=train_cfg,
+        results_path="sweep_bench_results.json",
+        storage="sweep_bench.db", checkpoint_dir="sweep_bench_models",
+        verbose=True)
+    wall = time.time() - t0
+
+    per_cell = {}
+    windows_trained = 0
+    for cell in cells:
+        entry = results.get(cell, task, "EmbraceNetMultimodal")
+        per_cell[cell] = {
+            "average_CV_AUPRC": entry["average_CV_AUPRC"],
+            "baseline": results.data[cell][task]["baseline_AUPRC"],
+        }
+        for fold in range(1, args.folds + 1):
+            it = entry.get(f"iteration_n_{fold}", {})
+            epochs = len(it.get("AUPRC_test", []))
+            windows_trained += epochs * int(args.windows * 2 / 3) \
+                * (args.trials + 1)
+
+    report = {
+        "cells": len(cells),
+        "windows_per_cell": args.windows,
+        "wall_clock_s": round(wall, 1),
+        "chips": len(jax.devices()),
+        "per_cell": per_cell,
+        "approx_windows_trained": windows_trained,
+        "windows_per_sec_per_chip": round(
+            windows_trained / wall / len(jax.devices()), 1),
+        "note": ("population axis scales linearly over the mesh trial axis;"
+                 " a v5e-8 runs the 7-cell sweep ~8x faster than measured"
+                 " here on one chip"),
+    }
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
