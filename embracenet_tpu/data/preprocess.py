@@ -2,9 +2,9 @@
 
 Pipeline parity with `BIOINF_tesi/data_pipe/dataprepare.py` (``Data_Prepare``):
   1. RobustScaler then MinMaxScaler fit on the *full* matrix — the reference
-     fits before any split (`dataprepare.py:83-90`); this leakage-by-design is
-     preserved behind ``fit_on="all"`` (set ``"train"`` for the sound
-     variant).
+     fits before any split (`dataprepare.py:83-90`); that leakage-by-design
+     is preserved for parity.  Callers wanting sound semantics can fit
+     :class:`ScalerStats` on a training subset and ``transform`` the rest.
   2. MICE-style imputation (`:93-101` via miceforest): replaced by a
      deterministic iterative ridge imputer with optional mean-matching —
      miceforest parity is not bit-required (the reference silently skips

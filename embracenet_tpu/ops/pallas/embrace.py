@@ -15,7 +15,15 @@ per-feature Bernoulli with probability ``p0[row]`` for modality 0.
 Backward is ordinary XLA (the select makes it three masked matmuls); the
 kernel carries a custom VJP so ``jax.grad`` works through it.  Tests compare
 against the unfused path at the probability extremes (exact) and mid-range
-(distributional) in interpreter mode on CPU.
+(distributional) in interpreter mode on CPU; stochastic behaviour was
+validated on-chip (p0=0.3 draw measured 0.29; deterministic per seed).
+
+Measured on one v5e chip (B=256, E=1024, D1=7936, device-resident inputs):
+fused 0.76 ms/call vs 0.47 ms for the unfused XLA path — XLA's automatic
+fusion is already strong at this model scale and both are dominated by
+dispatch latency, so the engine keeps the XLA path as default; the kernel is
+the building block for larger embracement widths / batch sizes where the
+HBM round trip of the docking activations matters.
 """
 
 from __future__ import annotations
@@ -42,9 +50,12 @@ def _kernel(seed_ref, x0_ref, x1_ref, w0_ref, b0_ref, w1_ref, b1_ref,
         jnp.dot(x1_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
         + b1_ref[0, :], 0.0)
 
-    bits = pltpu.prng_random_bits(d0.shape)
-    # uint32 -> uniform [0, 1): keep the top 24 bits for an exact float
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # prng_random_bits yields *signed* int32 and Mosaic cannot cast
+    # uint32->f32; clear the sign bit to get 31 uniform bits (caught
+    # on-chip: the naive arithmetic shift of negatives skewed a p0=0.3
+    # draw to select modality 0 at 0.77)
+    bits = pltpu.prng_random_bits(d0.shape) & jnp.int32(0x7FFFFFFF)
+    u = bits.astype(jnp.float32) * (1.0 / (1 << 31))  # uniform [0, 1)
     choose0 = u < p0_ref[:, 0:1]
     out = jnp.where(choose0, d0, d1) * emask_ref[0, :]
     out_ref[:] = out
