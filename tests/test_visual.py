@@ -86,3 +86,36 @@ def test_select_augmented_models(tmp_path, results):
                                             checkpoint_dir=str(tmp_path))
     assert winner == "double"
     assert (tmp_path / (checkpoint_name("K562", "FFNN", "t", 0) + ".npz")).exists()
+
+
+def test_compare_models_result(tmp_path, rng):
+    """Pairwise Wilcoxon comparison over reloaded fold checkpoints."""
+    import jax
+
+    from embracenet_tpu.hpo import space as sp
+    from embracenet_tpu.training.checkpoint import save_checkpoint
+    from embracenet_tpu.training.cv import checkpoint_name
+    from embracenet_tpu.training.modelspec import get_spec
+    from embracenet_tpu.visual.report import CompareModelsResult
+
+    d = 6
+    data = {"ffnn": rng.normal(size=(40, d)).astype(np.float32),
+            "y": (rng.random(40) < 0.4).astype(np.int64)}
+    spec = get_spec("FFNN", in_features_ffnn=d)
+    # two "models" (both FFNN family) saved under different model names
+    for mname, seed in (("FFNN", 0), ("CNN", 99)):
+        flat = sp.sample_params("FFNN", np.random.default_rng(seed))
+        hp = sp.params_to_hp("FFNN", flat)
+        params, bn = spec.init(jax.random.PRNGKey(seed), hp)
+        for fold in range(2):
+            save_checkpoint(
+                str(tmp_path / checkpoint_name("K562", mname, "t", fold)),
+                {"params": params},
+                meta={"model": "FFNN", "model_params": flat})
+    cmp = CompareModelsResult(checkpoint_dir=str(tmp_path), n_folds=2)
+    res = cmp({"K562": data}, "t", models=("FFNN", "CNN"))
+    pair = res["K562"][("FFNN", "CNN")]
+    assert len(pair["pvalues"]) == 2
+    assert isinstance(pair["different"], (bool, np.bool_))
+    cmp.save(res, str(tmp_path / "pvals.pickle"))
+    assert (tmp_path / "pvals.pickle").exists()
