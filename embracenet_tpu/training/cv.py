@@ -101,6 +101,7 @@ class KfoldCV:
                  checkpoint_dir: str = "models",
                  test_model_path: str | None = None,
                  random_state: int = 789,
+                 resume: bool = True,
                  verbose: bool = False):
         """``data``: {"ffnn": [N,D] float, "cnn": [N,256] uint8 codes, "y"}
         (views required by ``model`` must be present).
@@ -133,6 +134,27 @@ class KfoldCV:
             fold = i + 1
             if verbose:
                 print(f">>> fold {fold}/{cv_cfg.n_folds}")
+
+            # fold-level resume: the reference's fit() short-circuits when its
+            # checkpoint exists (training_models.py:71-76); here a finished
+            # fold reloads its scores and trained weights
+            fold_ck = os.path.join(checkpoint_dir,
+                                   f"{study_name}_fold{fold}_result")
+            if resume and os.path.exists(fold_ck + ".npz"):
+                from embracenet_tpu.training.checkpoint import load_checkpoint
+
+                trees, meta = load_checkpoint(fold_ck)
+                it = f"iteration_n_{fold}"
+                self.scores_dict[it] = meta["scores"]
+                final_test = meta["scores"]["AUPRC_test"][-1]
+                self.scores_dict["final_test_AUPRC_scores"].append(final_test)
+                self.scores_dict["final_train_AUPRC_scores"].append(
+                    meta["scores"]["AUPRC_train"][-1])
+                self.best_params[fold] = meta["best_params"]
+                avg_score.append(final_test)
+                if verbose:
+                    print(f"fold {fold}: resumed (test AUPRC {final_test:.4f})")
+                continue
             tr_idx, val_idx = train_test_split(
                 train_index, test_size=1 / cv_cfg.n_folds,
                 random_state=random_state, shuffle=True)
@@ -183,11 +205,21 @@ class KfoldCV:
                                 verbose=verbose)
 
             it = f"iteration_n_{fold}"
-            self.scores_dict[it] = {
+            fold_scores = {
                 "AUPRC_train": result.auprc_train[0],
                 "AUPRC_test": result.auprc_test[0],
                 "F1_precision_recall": result.f1_precision_recall[0],
             }
+            self.scores_dict[it] = fold_scores
+            trial0_tree = jax.tree.map(lambda a: np.asarray(a)[0],
+                                       (result.params, result.bn_state))
+            save_checkpoint(fold_ck,
+                            {"params": trial0_tree[0],
+                             "bn_state": trial0_tree[1]},
+                            meta={"scores": fold_scores,
+                                  "best_params": search.best_params,
+                                  "model": model, "model_params":
+                                  search.best_params})
             final_test = result.final_test_auprc[0]
             final_train = result.final_train_auprc[0]
             self.scores_dict["final_test_AUPRC_scores"].append(final_test)
@@ -197,11 +229,9 @@ class KfoldCV:
 
             avg_score.append(final_test)
             if final_test == max(avg_score) and test_model_path:
-                trial0 = jax.tree.map(lambda a: np.asarray(a)[0],
-                                      (result.params, result.bn_state))
                 save_checkpoint(
                     os.path.join(checkpoint_dir, test_model_path),
-                    {"params": trial0[0], "bn_state": trial0[1]},
+                    {"params": trial0_tree[0], "bn_state": trial0_tree[1]},
                     meta={"model_params": search.best_params,
                           "model": model, "cell_line": cell_line,
                           "task": task, "fold": fold})

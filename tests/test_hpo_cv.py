@@ -134,3 +134,21 @@ def test_results_dict(tmp_path):
     assert r2.data["K562"]["t"]["best_augmentation"] == "double"
     y = np.array([1] * 2 + [0] * 98)
     assert baseline_auprc(y) == 0.1  # floored
+
+
+def test_kfold_cv_resume(tmp_path, rng):
+    """A finished fold is reloaded instead of retrained (reference's fit
+    checkpoint short-circuit, training_models.py:71-76)."""
+    data = _tabular(rng, n=200)
+    kwargs = dict(
+        task="t", cell_line="K562",
+        cv_cfg=CVConfig(n_folds=2, n_trials=1, sampler="random"),
+        train_cfg=TrainConfig(num_epochs=2, epoch_chunk=2, batch_size=60),
+        storage=str(tmp_path / "cv.db"), checkpoint_dir=str(tmp_path))
+    cv1 = KfoldCV()
+    s1 = cv1(data, "FFNN", **kwargs)
+    cv2 = KfoldCV()
+    s2 = cv2(data, "FFNN", **kwargs)
+    assert s2["final_test_AUPRC_scores"] == s1["final_test_AUPRC_scores"]
+    assert s2["average_CV_AUPRC"] == s1["average_CV_AUPRC"]
+    assert s2["iteration_n_1"]["AUPRC_test"] == s1["iteration_n_1"]["AUPRC_test"]
