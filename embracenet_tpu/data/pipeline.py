@@ -14,7 +14,6 @@ design, `dataprepare.py:83-90`); preserved for parity.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 

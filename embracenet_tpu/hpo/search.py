@@ -27,7 +27,7 @@ from typing import Any
 import jax
 import numpy as np
 
-from embracenet_tpu.config import CVConfig, TrainConfig
+from embracenet_tpu.config import TrainConfig
 from embracenet_tpu.hpo import space as space_mod
 from embracenet_tpu.hpo.samplers import get_sampler, sample_n
 from embracenet_tpu.hpo.study import COMPLETE, PRUNED, MedianPruner, PatientPruner, Study

@@ -19,11 +19,9 @@ import dataclasses
 import re
 import time
 
-import numpy as np
 
 from embracenet_tpu import CELL_LINES, TASKS, api
 from embracenet_tpu.config import CVConfig, TrainConfig
-from embracenet_tpu.data.pipeline import Pipeline
 from embracenet_tpu.data.sampling import get_imbalance
 from embracenet_tpu.training.results import ResultsDict, baseline_auprc
 from embracenet_tpu.visual.report import select_augmented_models

@@ -23,7 +23,6 @@ Sharding: ``fit(..., mesh=...)`` places the population over the mesh's
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax
@@ -32,7 +31,7 @@ import numpy as np
 
 from embracenet_tpu.config import TrainConfig
 from embracenet_tpu.ops import losses, metrics, optim
-from embracenet_tpu.training.batching import BatchPlan, balanced_plan, eval_plan
+from embracenet_tpu.training.batching import balanced_plan, eval_plan
 from embracenet_tpu.training.modelspec import ModelSpec
 
 

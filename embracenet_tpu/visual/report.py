@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 import pickle
-from collections import defaultdict
 
 import numpy as np
 import pandas as pd
