@@ -89,6 +89,31 @@ class Pipeline:
             "y": self.labels[cell_line],
         }
 
+    def return_data(self, cell_line: str, hyper_tuning: bool = False,
+                    sequence: bool | None = None, random_state: int = 123,
+                    test_size: float = 0.25, validation_size: float = 0.15,
+                    augmentation: bool = False):
+        """Train/test split of one cell line's data (reference
+        ``Build_DataLoader_Pipeline.return_data`` / ``Data_Prepare.return_data``,
+        `dataprepare.py:320-366, 545-595`).
+
+        Returns (train dict, test dict); with ``hyper_tuning`` the test dict
+        is the validation subset (seed+100 split).  ``sequence`` selects a
+        single view for API parity; None keeps both views.
+        """
+        from embracenet_tpu.data.splits import split_data
+
+        data = self.cell_data(cell_line)
+        if sequence is True:
+            data = {"cnn": data["cnn"], "y": data["y"]}
+        elif sequence is False:
+            data = {"ffnn": data["ffnn"], "y": data["y"]}
+        return split_data(data, hyper_tuning=hyper_tuning,
+                          test_size=test_size,
+                          validation_size=validation_size,
+                          random_state=random_state,
+                          augmentation=augmentation)
+
     # -- cache -------------------------------------------------------------
 
     def _save_cache(self):

@@ -126,3 +126,14 @@ def test_pipeline_selects_and_caches(data_root, tmp_path):
 def test_pipeline_unknown_task():
     with pytest.raises(ValueError):
         Pipeline(task="nope", root="/nonexistent", cache_dir=None)
+
+
+def test_pipeline_return_data(data_root, tmp_path):
+    pipe = Pipeline(task="active_P_vs_inactive_P", root=data_root,
+                    cache_dir=None)
+    tr, te = pipe.return_data("K562")
+    assert len(tr["y"]) == 67 and len(te["y"]) == 23   # 0.25 split of 90
+    trh, val = pipe.return_data("K562", hyper_tuning=True)
+    assert len(val["y"]) == int(np.ceil(67 * 0.15))
+    tr_seq, _ = pipe.return_data("K562", sequence=True)
+    assert "ffnn" not in tr_seq and tr_seq["cnn"].shape[1] == 256
