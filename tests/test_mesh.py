@@ -1,0 +1,51 @@
+import jax
+import numpy as np
+import pytest
+
+from embracenet_tpu.parallel import mesh as M
+
+
+def test_make_mesh_shapes():
+    m = M.make_mesh(n_trial=4, n_data=2)
+    assert dict(m.shape) == {"trial": 4, "data": 2}
+    m2 = M.make_mesh()  # all devices on trial
+    assert m2.shape["trial"] == len(jax.devices())
+    with pytest.raises(ValueError):
+        M.make_mesh(n_trial=3, n_data=3)
+
+
+def test_shard_population_places_leading_axis():
+    m = M.make_mesh(n_trial=8, n_data=1)
+    tree = {"w": np.zeros((8, 16), np.float32),
+            "b": np.zeros((8,), np.float32)}
+    (sharded,) = M.shard_population(m, tree)
+    sh = sharded["w"].sharding
+    assert sh.spec[0] == "trial"
+    # each device holds one trial's slice
+    assert sharded["w"].addressable_shards[0].data.shape == (1, 16)
+
+
+def test_batch_sharding_splits_width():
+    m = M.make_mesh(n_trial=2, n_data=4)
+    plan = np.zeros((6, 32), np.int32)
+    arr = jax.device_put(plan, M.batch_sharding(m))
+    assert arr.addressable_shards[0].data.shape == (6, 8)
+
+
+def test_fit_mesh_requires_divisible_population(rng):
+    from embracenet_tpu.config import TrainConfig
+    from embracenet_tpu.hpo import space
+    from embracenet_tpu.training import engine
+    from embracenet_tpu.training.modelspec import get_spec
+
+    m = M.make_mesh(n_trial=8, n_data=1)
+    data = {"ffnn": rng.normal(size=(40, 4)).astype(np.float32),
+            "y": (rng.random(40) < 0.4).astype(np.int64)}
+    spec = get_spec("FFNN", in_features_ffnn=4)
+    flat = space.sample_params("FFNN", rng)
+    hp = space.params_to_hp("FFNN", flat)
+    opt = space.optimizer_hp(flat)
+    with pytest.raises(ValueError):
+        engine.fit(spec, [hp] * 3, [opt] * 3, data, data,
+                   TrainConfig(num_epochs=1, epoch_chunk=1, batch_size=20),
+                   mesh=m)
