@@ -109,6 +109,10 @@ class CVConfig:
     sampler: str = "TPE"            # 'TPE' | 'random' | 'BO'
     type_augm_genfeatures: str = "smote"   # 'smote' | 'double'
     augmentation: bool = False      # multimodal augmentation path
+    pad_retrain: bool = True        # run the post-HPO retrain as a padded
+    #                                 population of n_trials replicas so it
+    #                                 reuses the HPO-phase compiled program
+    #                                 (program loads dominate on this setup)
 
 
 @dataclasses.dataclass(frozen=True)

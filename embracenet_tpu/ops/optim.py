@@ -50,8 +50,6 @@ def apply_update(params, grads, state, opt_id, lr, weight_decay):
     lr = jnp.asarray(lr, jnp.float32)
     weight_decay = jnp.asarray(weight_decay, jnp.float32)
 
-    is_rms = (opt_id == RMSPROP).astype(jnp.float32)
-    is_nadam = (opt_id == NADAM).astype(jnp.float32)
     beta2 = jnp.where(opt_id == RMSPROP, _RMS_ALPHA, _B2)
 
     # Nadam momentum schedule (timm legacy Nadam).
@@ -63,22 +61,28 @@ def apply_update(params, grads, state, opt_id, lr, weight_decay):
     bc1 = 1.0 - _B1 ** step
     bc2 = 1.0 - beta2 ** step
 
+    # All three updates share the form delta = (cg*g + cm*m_new) / denom
+    # with denom = sqrt(v_new * vscale) + eps; selecting the three scalars
+    # per optimizer gives ONE elementwise pass over the parameters instead
+    # of computing three candidate deltas (3x VPU + memory traffic on the
+    # whole population's parameter state):
+    #   Adam:    cg = 0,                      cm = 1/bc1,        vscale = 1/bc2
+    #   Nadam:   cg = (1-mu_t)/(1-msched),    cm = mu_t1/(1-msched'), 1/bc2
+    #   RMSprop: cg = 1,                      cm = 0,            vscale = 1
+    nadam_cg = (1.0 - mu_t) / (1.0 - m_sched_new)
+    nadam_cm = mu_t1 / (1.0 - m_sched_next)
+    cg = jnp.where(opt_id == RMSPROP, 1.0,
+                   jnp.where(opt_id == NADAM, nadam_cg, 0.0))
+    cm = jnp.where(opt_id == RMSPROP, 0.0,
+                   jnp.where(opt_id == NADAM, nadam_cm, 1.0 / bc1))
+    vscale = jnp.where(opt_id == RMSPROP, 1.0, 1.0 / bc2)
+
     def leaf_update(p, g, m, v):
         g = g + weight_decay * p  # coupled weight decay (torch-style)
         m_new = _B1 * m + (1.0 - _B1) * g
         v_new = beta2 * v + (1.0 - beta2) * g * g
-
-        # Adam
-        denom_adam = jnp.sqrt(v_new / bc2) + _EPS
-        d_adam = (m_new / bc1) / denom_adam
-        # RMSprop (no bias correction, raw grad)
-        d_rms = g / (jnp.sqrt(v_new) + _EPS)
-        # Nadam (timm)
-        denom_nadam = jnp.sqrt(v_new / bc2) + _EPS
-        d_nadam = ((1.0 - mu_t) / (1.0 - m_sched_new)) * g / denom_nadam \
-            + (mu_t1 / (1.0 - m_sched_next)) * m_new / denom_nadam
-
-        delta = d_adam + is_rms * (d_rms - d_adam) + is_nadam * (d_nadam - d_adam)
+        denom = jnp.sqrt(v_new * vscale) + _EPS
+        delta = (cg * g + cm * m_new) / denom
         return p - lr * delta, m_new, v_new
 
     flat_p, treedef = jax.tree.flatten(params)

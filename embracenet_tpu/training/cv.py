@@ -188,17 +188,24 @@ class KfoldCV:
 
             hp = space_mod.params_to_hp(model, search.best_params)
             opt = space_mod.optimizer_hp(search.best_params)
+            # pad the retrain to the HPO population size so it reuses the
+            # already-loaded compiled program (replicas differ only in RNG;
+            # trial 0 is the retrained model)
+            n_rep = (cv_cfg.n_trials
+                     if cv_cfg.pad_retrain and spec.vmappable else 1)
             init_params = None
             init_bn = None
             if search.best_model is not None:
                 # weight_reset: fresh Linear/Conv, keep trained BN (quirk)
-                p0, b0 = engine.weight_reset(
-                    jax.random.PRNGKey(random_state + 100 + fold), spec, hp,
-                    search.best_model[0], search.best_model[1])
-                init_params = engine.stack_trials([p0])
-                init_bn = engine.stack_trials([b0])
+                resets = [engine.weight_reset(
+                    jax.random.PRNGKey(random_state + 100 + fold + 1000 * r),
+                    spec, hp, search.best_model[0], search.best_model[1])
+                    for r in range(n_rep)]
+                init_params = engine.stack_trials([r[0] for r in resets])
+                init_bn = engine.stack_trials([r[1] for r in resets])
 
-            result = engine.fit(spec, [hp], [opt], trainval_d, test_d,
+            result = engine.fit(spec, [hp] * n_rep, [opt] * n_rep,
+                                trainval_d, test_d,
                                 train_cfg, key=jax.random.PRNGKey(
                                     random_state + 200 + fold),
                                 init_params=init_params, init_bn_state=init_bn,

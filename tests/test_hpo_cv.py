@@ -152,3 +152,39 @@ def test_kfold_cv_resume(tmp_path, rng):
     assert s2["final_test_AUPRC_scores"] == s1["final_test_AUPRC_scores"]
     assert s2["average_CV_AUPRC"] == s1["average_CV_AUPRC"]
     assert s2["iteration_n_1"]["AUPRC_test"] == s1["iteration_n_1"]["AUPRC_test"]
+
+
+def test_rebalance_views_multimodal_alignment(rng):
+    """SMOTE (tabular) and reverse-strand (sequence) rebalancing must yield
+    identical counts and label layout so one batch plan serves both views."""
+    from embracenet_tpu.training.cv import rebalance_views
+
+    n = 400
+    y = np.zeros(n, np.int64)
+    y[:20] = 1
+    data = {
+        "ffnn": rng.normal(size=(n, 6)).astype(np.float32),
+        "cnn": rng.integers(0, 4, size=(n, 32)).astype(np.uint8),
+        "y": y,
+    }
+    out = rebalance_views(data, ("ffnn", "cnn"), "smote", 0.1)
+    assert len(out["ffnn"]) == len(out["cnn"]) == len(out["y"])
+    assert (out["y"] == 1).sum() > 20           # rebalanced
+    # originals preserved as prefix in both views
+    np.testing.assert_array_equal(out["ffnn"][:n], data["ffnn"])
+    np.testing.assert_array_equal(out["cnn"][:n], data["cnn"])
+
+
+def test_rebalance_views_augmentation_alignment(rng):
+    from embracenet_tpu.training.cv import rebalance_views
+
+    n = 300
+    y = (rng.random(n) < 0.3).astype(np.int64)
+    data = {
+        "ffnn": rng.normal(size=(n, 6)).astype(np.float32),
+        "cnn": rng.integers(0, 4, size=(n, 32)).astype(np.uint8),
+        "y": y,
+    }
+    out = rebalance_views(data, ("ffnn", "cnn"), "smote", 0.1,
+                          augmentation=True)
+    assert len(out["ffnn"]) == len(out["cnn"]) == len(out["y"]) == 2 * n
