@@ -57,7 +57,8 @@ def run_search(spec: ModelSpec,
                prune: str = "reference",
                checkpoint_dir: str | None = None,
                seed: int = 0,
-               verbose: bool = False) -> SearchResult:
+               verbose: bool = False,
+               fit_kwargs: dict | None = None) -> SearchResult:
     """Run (or resume) a study; returns the best trial across all runs."""
     study = Study(study_name, storage)
     completed = study.completed_trials()
@@ -94,7 +95,8 @@ def run_search(spec: ModelSpec,
         if spec.vmappable:
             result = engine.fit(spec, hp_list, opt_list, data_train, data_val,
                                 train_cfg, key=jax.random.PRNGKey(seed),
-                                verbose=verbose, report_fn=report_fn)
+                                verbose=verbose, report_fn=report_fn,
+                                **(fit_kwargs or {}))
             per_trial = [(jax.tree.map(lambda a, i=t: np.asarray(a)[i],
                                        (result.params, result.bn_state)),
                           result.auprc_test[t]) for t in range(remaining)]
@@ -108,7 +110,8 @@ def run_search(spec: ModelSpec,
                                verbose=verbose,
                                report_fn=(lambda _t, e, v, t=t:
                                           report_fn(t, e, v))
-                               if report_fn else None)
+                               if report_fn else None,
+                               **(fit_kwargs or {}))
                 per_trial.append((jax.tree.map(lambda a: np.asarray(a)[0],
                                                (r.params, r.bn_state)),
                                   r.auprc_test[0]))

@@ -34,6 +34,7 @@ from embracenet_tpu.data import sampling
 from embracenet_tpu.hpo import space as space_mod
 from embracenet_tpu.hpo.search import run_search
 from embracenet_tpu.training import engine
+from embracenet_tpu.training.batching import balanced_plan, eval_plan
 from embracenet_tpu.training.checkpoint import save_checkpoint
 from embracenet_tpu.training.modelspec import get_spec
 
@@ -169,6 +170,29 @@ class KfoldCV:
                                       train_cfg.rebalance_threshold,
                                       augmentation=cv_cfg.augmentation)
             val_d = view_slice(val_idx)
+            trainval_d = rebalance_views(view_slice(train_index), views,
+                                         cv_cfg.type_augm_genfeatures,
+                                         train_cfg.rebalance_threshold,
+                                         augmentation=cv_cfg.augmentation)
+            test_d = view_slice(test_index)
+
+            # shared shape targets: the HPO fit and the retrain fit (and,
+            # via bucketing, the other folds) compile to ONE program
+            def _plan_dims(y, bs):
+                p = balanced_plan(np.asarray(y), bs)
+                return p.idx.shape
+
+            nb1, bw1 = _plan_dims(train_d["y"], train_cfg.batch_size)
+            nb2, bw2 = _plan_dims(trainval_d["y"], train_cfg.batch_size)
+            ev1 = eval_plan(len(val_d["y"]), train_cfg.batch_size * 2).idx.shape
+            ev2 = eval_plan(len(test_d["y"]), train_cfg.batch_size * 2).idx.shape
+            shape_targets = {
+                "train_rows": max(len(train_d["y"]), len(trainval_d["y"])),
+                "train_batches": max(nb1, nb2),
+                "train_batch_width": max(bw1, bw2),
+                "eval_rows": max(len(val_d["y"]), len(test_d["y"])),
+                "eval_batches": max(ev1[0], ev2[0]),
+            }
 
             # ---- hyperparameter search (vmapped population) ----
             search = run_search(
@@ -176,15 +200,8 @@ class KfoldCV:
                 study_name=f"{study_name}_{fold}", storage=storage,
                 sampler=cv_cfg.sampler, n_trials=cv_cfg.n_trials,
                 train_cfg=train_cfg, checkpoint_dir=checkpoint_dir,
-                seed=random_state + fold, verbose=verbose)
-            self.best_params[fold] = search.best_params
-
-            # ---- retrain best architecture from scratch on train+val ----
-            trainval_d = rebalance_views(view_slice(train_index), views,
-                                         cv_cfg.type_augm_genfeatures,
-                                         train_cfg.rebalance_threshold,
-                                         augmentation=cv_cfg.augmentation)
-            test_d = view_slice(test_index)
+                seed=random_state + fold, verbose=verbose,
+                fit_kwargs={"shape_targets": shape_targets})
 
             hp = space_mod.params_to_hp(model, search.best_params)
             opt = space_mod.optimizer_hp(search.best_params)
@@ -209,7 +226,8 @@ class KfoldCV:
                                 train_cfg, key=jax.random.PRNGKey(
                                     random_state + 200 + fold),
                                 init_params=init_params, init_bn_state=init_bn,
-                                verbose=verbose)
+                                verbose=verbose,
+                                shape_targets=shape_targets)
 
             it = f"iteration_n_{fold}"
             fold_scores = {

@@ -244,9 +244,10 @@ def _pad_rows(a: np.ndarray, n_to: int) -> np.ndarray:
 def _device_data(data, spec: ModelSpec, row_bucket: int = 512):
     """Device-resident arrays, row count padded to a bucket so XLA programs
     are reused across folds/cells (padded rows are never gathered: batch
-    plans index only real rows)."""
+    plans index only real rows).  ``row_bucket`` doubles as a minimum row
+    target so callers can align shapes across fits."""
     n = len(np.asarray(data["y"]))
-    n_pad = _bucket(max(n, 1), row_bucket)
+    n_pad = max(_bucket(max(n, 1), 512), _bucket(row_bucket, 512))
     out = {"y": jnp.asarray(_pad_rows(np.asarray(data["y"], np.int32), n_pad))}
     if "ffnn" in spec.inputs:
         out["ffnn"] = jnp.asarray(
@@ -257,12 +258,16 @@ def _device_data(data, spec: ModelSpec, row_bucket: int = 512):
     return out
 
 
-def _pad_plan(plan, batch_bucket: int = 4, width_bucket: int = 16):
+def _pad_plan(plan, batch_bucket: int = 4, width_bucket: int = 16,
+              batch_target: int | None = None,
+              width_target: int | None = None):
     """Pad a BatchPlan to bucketed (n_batches, batch_width): dummy batches
     are fully masked (train step skips their update), and metric sums divide
-    by the real divisor, so results are bit-identical to the unpadded plan."""
-    nb = _bucket(plan.idx.shape[0], batch_bucket)
-    bw = _bucket(plan.idx.shape[1], width_bucket)
+    by the real divisor, so results are bit-identical to the unpadded plan.
+    Explicit targets (>= actual) let callers align shapes across fits so
+    several fits share one compiled program."""
+    nb = _bucket(max(plan.idx.shape[0], batch_target or 0), batch_bucket)
+    bw = _bucket(max(plan.idx.shape[1], width_target or 0), width_bucket)
     idx = np.zeros((nb, bw), np.int32)
     mask = np.zeros((nb, bw), np.float32)
     idx[:plan.idx.shape[0], :plan.idx.shape[1]] = plan.idx
@@ -281,7 +286,8 @@ def fit(spec: ModelSpec,
         init_bn_state=None,
         verbose: bool = False,
         report_fn=None,
-        mesh=None) -> FitResult:
+        mesh=None,
+        shape_targets: dict | None = None) -> FitResult:
     """Train a population of trials on one (train, test) split.
 
     ``hp_list``/``opt_list``: per-trial concrete hyperparameter dicts
@@ -311,8 +317,11 @@ def fit(spec: ModelSpec,
     opt_hp = stack_trials([{k: np.asarray(v) for k, v in o.items()}
                            for o in opt_list])
 
-    train_data = _device_data(data_train, spec)
-    test_data = _device_data(data_test, spec)
+    st = shape_targets or {}
+    train_data = _device_data(data_train, spec,
+                              row_bucket=max(512, st.get("train_rows", 0)))
+    test_data = _device_data(data_test, spec,
+                             row_bucket=max(512, st.get("eval_rows", 0)))
     y_train = np.asarray(data_train["y"])
     plan = balanced_plan(y_train, cfg.batch_size, seed=123)
     tplan = eval_plan(len(np.asarray(data_test["y"])), cfg.batch_size * 2,
@@ -324,8 +333,11 @@ def fit(spec: ModelSpec,
 
         statics["cnn_max_depth"] = CNN_MAX_LAYERS
     chunk_fn = _epoch_fns_cached(spec, cfg, compute_dtype, statics)
-    plan_idx, plan_mask = map(jnp.asarray, _pad_plan(plan))
-    tplan_idx, tplan_mask = map(jnp.asarray, _pad_plan(tplan))
+    plan_idx, plan_mask = map(jnp.asarray, _pad_plan(
+        plan, batch_target=st.get("train_batches"),
+        width_target=st.get("train_batch_width")))
+    tplan_idx, tplan_mask = map(jnp.asarray, _pad_plan(
+        tplan, batch_target=st.get("eval_batches")))
 
     trial_keys = jax.random.split(key, n_trials)
     # NB: construct from concrete numpy so avals are non-weak from the first
