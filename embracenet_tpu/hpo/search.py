@@ -127,7 +127,8 @@ def run_search(spec: ModelSpec,
                 save_checkpoint(
                     os.path.join(checkpoint_dir, f"{study_name}{numbers[t]}"),
                     {"params": trial_tree[0], "bn_state": trial_tree[1]},
-                    meta={"model_params": flat_list[t], "value": value})
+                    meta={"model": model, "model_params": flat_list[t],
+                          "value": value})
 
     best = study.best_trial
     best_model = None
