@@ -109,10 +109,13 @@ class CVConfig:
     sampler: str = "TPE"            # 'TPE' | 'random' | 'BO'
     type_augm_genfeatures: str = "smote"   # 'smote' | 'double'
     augmentation: bool = False      # multimodal augmentation path
-    pad_retrain: bool = True        # run the post-HPO retrain as a padded
-    #                                 population of n_trials replicas so it
-    #                                 reuses the HPO-phase compiled program
-    #                                 (program loads dominate on this setup)
+    share_programs: bool = False    # pad the retrain population and align
+    #                                 HPO/retrain shapes so one compiled
+    #                                 program serves the whole CV; trades
+    #                                 ~40% extra steady compute for one fewer
+    #                                 program compile+load — measured slower
+    #                                 on this setup (962s vs 642s for the
+    #                                 7-cell sweep), so off by default
 
 
 @dataclasses.dataclass(frozen=True)

@@ -182,17 +182,22 @@ class KfoldCV:
                 p = balanced_plan(np.asarray(y), bs)
                 return p.idx.shape
 
-            nb1, bw1 = _plan_dims(train_d["y"], train_cfg.batch_size)
-            nb2, bw2 = _plan_dims(trainval_d["y"], train_cfg.batch_size)
-            ev1 = eval_plan(len(val_d["y"]), train_cfg.batch_size * 2).idx.shape
-            ev2 = eval_plan(len(test_d["y"]), train_cfg.batch_size * 2).idx.shape
-            shape_targets = {
-                "train_rows": max(len(train_d["y"]), len(trainval_d["y"])),
-                "train_batches": max(nb1, nb2),
-                "train_batch_width": max(bw1, bw2),
-                "eval_rows": max(len(val_d["y"]), len(test_d["y"])),
-                "eval_batches": max(ev1[0], ev2[0]),
-            }
+            if cv_cfg.share_programs:
+                nb1, bw1 = _plan_dims(train_d["y"], train_cfg.batch_size)
+                nb2, bw2 = _plan_dims(trainval_d["y"], train_cfg.batch_size)
+                ev1 = eval_plan(len(val_d["y"]),
+                                train_cfg.batch_size * 2).idx.shape
+                ev2 = eval_plan(len(test_d["y"]),
+                                train_cfg.batch_size * 2).idx.shape
+                shape_targets = {
+                    "train_rows": max(len(train_d["y"]), len(trainval_d["y"])),
+                    "train_batches": max(nb1, nb2),
+                    "train_batch_width": max(bw1, bw2),
+                    "eval_rows": max(len(val_d["y"]), len(test_d["y"])),
+                    "eval_batches": max(ev1[0], ev2[0]),
+                }
+            else:
+                shape_targets = None
 
             # ---- hyperparameter search (vmapped population) ----
             search = run_search(
@@ -201,7 +206,8 @@ class KfoldCV:
                 sampler=cv_cfg.sampler, n_trials=cv_cfg.n_trials,
                 train_cfg=train_cfg, checkpoint_dir=checkpoint_dir,
                 seed=random_state + fold, verbose=verbose,
-                fit_kwargs={"shape_targets": shape_targets})
+                fit_kwargs={"shape_targets": shape_targets}
+                if shape_targets else None)
 
             hp = space_mod.params_to_hp(model, search.best_params)
             opt = space_mod.optimizer_hp(search.best_params)
@@ -209,7 +215,7 @@ class KfoldCV:
             # already-loaded compiled program (replicas differ only in RNG;
             # trial 0 is the retrained model)
             n_rep = (cv_cfg.n_trials
-                     if cv_cfg.pad_retrain and spec.vmappable else 1)
+                     if cv_cfg.share_programs and spec.vmappable else 1)
             init_params = None
             init_bn = None
             if search.best_model is not None:
