@@ -188,3 +188,31 @@ def test_rebalance_views_augmentation_alignment(rng):
     out = rebalance_views(data, ("ffnn", "cnn"), "smote", 0.1,
                           augmentation=True)
     assert len(out["ffnn"]) == len(out["cnn"]) == len(out["y"]) == 2 * n
+
+
+def test_kfold_cv_multimodal_end_to_end(tmp_path, rng):
+    """EmbraceNet CV through KfoldCV: aligned views, HPO, retrain, scores."""
+    n, d = 160, 8
+    y = (rng.random(n) < 0.35).astype(np.int64)
+    w = rng.normal(size=d)
+    x = (rng.normal(size=(n, d)) + np.outer(y * 2 - 1, w)).astype(np.float32)
+    codes = rng.integers(0, 4, size=(n, 256)).astype(np.uint8)
+    data = {"ffnn": x, "cnn": codes, "y": y}
+
+    cv = KfoldCV()
+    scores = cv(data, "EmbraceNetMultimodal", task="t", cell_line="K562",
+                cv_cfg=CVConfig(n_folds=2, n_trials=1, sampler="random"),
+                train_cfg=TrainConfig(num_epochs=2, epoch_chunk=2,
+                                      batch_size=40),
+                storage=str(tmp_path / "mm.db"),
+                checkpoint_dir=str(tmp_path),
+                test_model_path=checkpoint_name(
+                    "K562", "EmbraceNetMultimodal", "t", 0))
+    assert len(scores["final_test_AUPRC_scores"]) == 2
+    assert all(np.isfinite(scores["final_test_AUPRC_scores"]))
+
+    from embracenet_tpu import api
+
+    ck = str(tmp_path / checkpoint_name("K562", "EmbraceNetMultimodal", "t", 0))
+    probs = api.predict(ck, data)
+    assert probs.shape == (n, 2)
