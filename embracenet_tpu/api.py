@@ -92,6 +92,7 @@ def evaluate(checkpoint_path: str, data: dict,
     prf = np.asarray(M.f1_precision_recall(logits, y))
     return {
         "AUPRC": auprc,
+        "AUROC": float(M.auroc(probs[:, 1], y)),
         "precision": float(prf[0]),
         "recall": float(prf[1]),
         "F1": float(prf[2]),

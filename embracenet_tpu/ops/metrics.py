@@ -101,6 +101,43 @@ def auprc_prob(scores, target, mask=None):
     return jnp.where(n_pos > 0, ap, 0.0)
 
 
+def auroc(scores, target, mask=None):
+    """Area under the ROC curve from continuous scores (rank statistic:
+    P(score_pos > score_neg) with 0.5 credit for ties) — equivalent to
+    sklearn.roc_auc_score; O(B log B), vmappable."""
+    scores = scores.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    if mask is None:
+        mask = jnp.ones_like(target)
+    mask = mask.astype(jnp.float32)
+    neg_inf = jnp.finfo(jnp.float32).min
+    s = jnp.where(mask > 0, scores, neg_inf)
+    # average ranks (ties) over the masked entries: double argsort gives
+    # ordinal ranks; average tied groups via the midpoint of cum-positions
+    order = jnp.argsort(s)
+    ranks = jnp.zeros_like(s).at[order].set(
+        jnp.arange(1, s.shape[0] + 1, dtype=jnp.float32))
+    # tie-average: rank_i <- mean rank of equal values
+    def tie_avg(r, v):
+        # for each element, average rank over elements with the same value
+        same = (v[:, None] == v[None, :]) & (mask[:, None] > 0) & (mask[None, :] > 0)
+        cnt = jnp.maximum(jnp.sum(same, axis=1), 1.0)
+        return jnp.sum(jnp.where(same, r[None, :], 0.0), axis=1) / cnt
+
+    ranks = tie_avg(ranks, s)
+    n_pos = jnp.sum(target * mask)
+    n_neg = jnp.sum((1.0 - target) * mask)
+    # masked entries rank lowest; subtract their contribution to pos ranks
+    pos_rank_sum = jnp.sum(ranks * target * mask)
+    auc = (pos_rank_sum - n_pos * (n_pos + 1) / 2) / jnp.maximum(
+        n_pos * n_neg, 1.0)
+    # masked rows occupy the lowest ranks, shifting every real rank up by
+    # n_masked; correct the positive rank sum accordingly
+    n_masked = jnp.sum(1.0 - mask)
+    auc = auc - n_masked * n_pos / jnp.maximum(n_pos * n_neg, 1.0)
+    return jnp.where((n_pos > 0) & (n_neg > 0), auc, 0.0)
+
+
 def f1_precision_recall(logits, target, mask=None):
     """Macro precision/recall/F1 with ``zero_division=0``.
 

@@ -86,3 +86,29 @@ def test_accuracy():
     target = np.array([0, 1, 1, 0])
     logits = _logits_from_pred(np.array([0, 1, 0, 0]))
     assert float(metrics.accuracy(logits, target)) == pytest.approx(0.75)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_auroc_matches_sklearn(seed):
+    from sklearn.metrics import roc_auc_score
+
+    rng = np.random.default_rng(seed)
+    target = (rng.random(64) < 0.3).astype(np.int64)
+    target[0], target[1] = 1, 0
+    scores = rng.random(64).astype(np.float32)
+    if seed % 2:
+        scores = np.round(scores, 1)  # ties
+    want = roc_auc_score(target, scores)
+    got = float(metrics.auroc(scores, target))
+    assert got == pytest.approx(want, abs=1e-5)
+
+
+def test_auroc_mask_equals_trimmed():
+    rng = np.random.default_rng(3)
+    target = (rng.random(40) < 0.4).astype(np.int64)
+    target[:2] = [1, 0]
+    scores = rng.random(40).astype(np.float32)
+    mask = np.concatenate([np.ones(25), np.zeros(15)])
+    got = float(metrics.auroc(scores, target, mask))
+    want = float(metrics.auroc(scores[:25], target[:25]))
+    assert got == pytest.approx(want, abs=1e-5)
