@@ -42,12 +42,12 @@ def _write_family(root, family, n, rng, n_feat=10, label_p=0.3):
             fh.write(f">chr1:{i * 300}-{i * 300 + 256}\n")
 
 
-def test_minimum_end_to_end_slice(tmp_path, rng):
+def test_minimum_end_to_end_slice(tmp_path, rng, monkeypatch):
     root = str(tmp_path / "data")
     _write_family(root, "enhancers", 80, rng)
     _write_family(root, "promoters", 400, rng)
 
-    os.chdir(tmp_path)
+    monkeypatch.chdir(tmp_path)
     task = "active_P_vs_inactive_P"
     pipe = et.preprocess(task, root=root, cache_dir=str(tmp_path / "cache"))
     data = pipe.cell_data("K562")
