@@ -54,6 +54,36 @@ def save_checkpoint(path: str, trees: dict, meta: dict | None = None):
              **flat)
 
 
+def save_checkpoint_orbax(path: str, trees: dict, meta: dict | None = None):
+    """Orbax-backed variant (async-capable, multi-host-safe storage layout).
+
+    Same logical content as :func:`save_checkpoint`; use for large models or
+    multi-host runs.  Requires orbax-checkpoint (baked into this image).
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path.rstrip("/"))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path + ".orbax",
+                   {"trees": jax.tree.map(np.asarray, trees),
+                    "meta_json": np.frombuffer(
+                        json.dumps(meta or {}, default=float).encode(),
+                        np.uint8).copy()},
+                   force=True)
+
+
+def load_checkpoint_orbax(path: str):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path.rstrip("/"))
+    with ocp.StandardCheckpointer() as ckptr:
+        out = ckptr.restore(path + ".orbax")
+    meta = json.loads(bytes(out["meta_json"]).decode()) if len(
+        out.get("meta_json", [])) else {}
+    return out["trees"], meta
+
+
 def load_checkpoint(path: str):
     """-> (trees dict, meta dict)."""
     if not path.endswith(".npz"):

@@ -216,3 +216,20 @@ def test_kfold_cv_multimodal_end_to_end(tmp_path, rng):
     ck = str(tmp_path / checkpoint_name("K562", "EmbraceNetMultimodal", "t", 0))
     probs = api.predict(ck, data)
     assert probs.shape == (n, 2)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, rng):
+    from embracenet_tpu.training.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    tree = {"params": {"w": rng.normal(size=(4, 3)).astype(np.float32),
+                       "nested": {"b": np.arange(5, dtype=np.int32)}}}
+    path = str(tmp_path / "ock")
+    save_checkpoint_orbax(path, tree, meta={"model": "FFNN", "lr": 0.01})
+    trees, meta = load_checkpoint_orbax(path)
+    assert meta == {"model": "FFNN", "lr": 0.01}
+    np.testing.assert_array_equal(trees["params"]["w"], tree["params"]["w"])
+    np.testing.assert_array_equal(trees["params"]["nested"]["b"],
+                                  tree["params"]["nested"]["b"])
