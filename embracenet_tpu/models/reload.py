@@ -26,7 +26,19 @@ from embracenet_tpu.training.checkpoint import load_checkpoint
 from embracenet_tpu.training.modelspec import get_spec
 
 
+def _pad_rows(a: np.ndarray, n_to: int) -> np.ndarray:
+    if a.shape[0] >= n_to:
+        return a
+    pad = [(0, n_to - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad)
+
+
 class ReloadedModel:
+    #: inference micro-batch: bounds activation memory (a full 163k-window
+    #: dataset would need ~10 GB of conv activations in one call) and keeps
+    #: one compiled program for any dataset size
+    BATCH = 4096
+
     def __init__(self, model: str, params, bn_state, flat_params: dict,
                  in_features_ffnn: int | None = None):
         self.model = model
@@ -43,18 +55,29 @@ class ReloadedModel:
                                     None, None, None)
         return logits
 
-    def _inputs(self, data: dict) -> dict:
+    def _batch_inputs(self, data: dict, lo: int) -> dict:
         out = {}
         if "ffnn" in self.spec.inputs:
-            out["ffnn"] = jnp.asarray(np.asarray(data["ffnn"], np.float32))
+            x = np.asarray(data["ffnn"], np.float32)[lo:lo + self.BATCH]
+            out["ffnn"] = jnp.asarray(_pad_rows(x, self.BATCH))
         if "cnn" in self.spec.inputs:
-            out["cnn"] = jnp.asarray(np.asarray(data["cnn"], np.uint8))
+            c = np.asarray(data["cnn"], np.uint8)[lo:lo + self.BATCH]
+            out["cnn"] = jnp.asarray(_pad_rows(c, self.BATCH))
         return out
 
     def __call__(self, data: dict, logits: bool = False):
-        """-> class probabilities [N, 2] (or raw logits)."""
-        raw = self._fwd(self._inputs(data))
-        return np.asarray(raw if logits else jax.nn.softmax(raw, axis=-1))
+        """-> class probabilities [N, 2] (or raw logits); batched."""
+        key = "ffnn" if "ffnn" in self.spec.inputs else "cnn"
+        n = len(np.asarray(data[key]))
+        chunks = []
+        for lo in range(0, n, self.BATCH):
+            raw = self._fwd(self._batch_inputs(data, lo))
+            take = min(self.BATCH, n - lo)
+            chunks.append(np.asarray(raw)[:take])
+        raw = np.concatenate(chunks) if chunks else np.zeros((0, 2))
+        if logits:
+            return raw
+        return np.asarray(jax.nn.softmax(jnp.asarray(raw), axis=-1))
 
     def predict_proba_positive(self, data: dict) -> np.ndarray:
         return self(data)[:, 1]

@@ -57,6 +57,22 @@ class ResultsDict:
         with open(path, "wb") as fh:
             pickle.dump(self.data, fh)
 
+    @classmethod
+    def from_reference_pickle(cls, pickle_path: str,
+                              json_path: str | None = None) -> "ResultsDict":
+        """Import a reference ``results_dict.pickle`` (migration helper).
+
+        The reference structure (SURVEY.md §2.6) is nested plain dicts of
+        floats/lists, so unpickling yields JSON-able data directly.
+        """
+        with open(pickle_path, "rb") as fh:
+            data = pickle.load(fh)
+        out = cls(json_path or "")
+        out.data = _jsonable(data)
+        if json_path:
+            out.path = json_path
+        return out
+
 
 def _jsonable(obj):
     if isinstance(obj, dict):

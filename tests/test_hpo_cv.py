@@ -233,3 +233,20 @@ def test_orbax_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(trees["params"]["w"], tree["params"]["w"])
     np.testing.assert_array_equal(trees["params"]["nested"]["b"],
                                   tree["params"]["nested"]["b"])
+
+
+def test_results_from_reference_pickle(tmp_path):
+    import pickle
+
+    from embracenet_tpu.training.results import ResultsDict
+
+    ref = {"K562": {"t": {"FFNN": {"average_CV_AUPRC": 0.34,
+                                   "final_test_AUPRC_scores": [0.3, 0.38]},
+                          "baseline_AUPRC": 0.125}}}
+    p = tmp_path / "results_dict.pickle"
+    with open(p, "wb") as fh:
+        pickle.dump(ref, fh)
+    r = ResultsDict.from_reference_pickle(str(p), str(tmp_path / "out.json"))
+    assert r.get("K562", "t", "FFNN")["average_CV_AUPRC"] == 0.34
+    r.save()
+    assert (tmp_path / "out.json").exists()
