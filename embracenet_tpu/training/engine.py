@@ -108,9 +108,6 @@ def _epoch_fns_cached(spec: ModelSpec, cfg: TrainConfig, compute_dtype,
 
 
 def _make_epoch_fns(spec: ModelSpec, cfg: TrainConfig, compute_dtype, statics=None):
-    auprc = (metrics.auprc_prob if cfg.auprc_on_probabilities
-             else metrics.auprc_argmax)
-
     def auprc_of(logits, y, mask):
         if cfg.auprc_on_probabilities:
             scores = jax.nn.softmax(logits, axis=-1)[:, 1]
