@@ -250,3 +250,35 @@ def test_results_from_reference_pickle(tmp_path):
     assert r.get("K562", "t", "FFNN")["average_CV_AUPRC"] == 0.34
     r.save()
     assert (tmp_path / "out.json").exists()
+
+
+def test_reload_batched_inference(tmp_path, rng):
+    """predict() must chunk datasets larger than the inference micro-batch."""
+    import jax
+
+    from embracenet_tpu import api
+    from embracenet_tpu.hpo import space as sp
+    from embracenet_tpu.models.reload import ReloadedModel
+    from embracenet_tpu.training.checkpoint import save_checkpoint
+    from embracenet_tpu.training.modelspec import get_spec
+
+    d = 6
+    flat = sp.sample_params("FFNN", rng)
+    hp = sp.params_to_hp("FFNN", flat)
+    spec = get_spec("FFNN", in_features_ffnn=d)
+    params, _ = spec.init(jax.random.PRNGKey(0), hp)
+    path = str(tmp_path / "big")
+    save_checkpoint(path, {"params": params},
+                    meta={"model": "FFNN", "model_params": flat})
+
+    n = ReloadedModel.BATCH + 123
+    data = {"ffnn": rng.normal(size=(n, d)).astype(np.float32),
+            "y": np.zeros(n, np.int64)}
+    probs = api.predict(path, data)
+    assert probs.shape == (n, 2)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+    # chunk boundaries must not change results: compare against small-batch
+    model = ReloadedModel("FFNN", params, {}, flat, in_features_ffnn=d)
+    model.BATCH = 1000
+    probs2 = model(data)
+    np.testing.assert_allclose(probs, probs2, atol=1e-5)
