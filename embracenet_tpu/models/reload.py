@@ -40,41 +40,45 @@ class ReloadedModel:
     BATCH = 4096
 
     def __init__(self, model: str, params, bn_state, flat_params: dict,
-                 in_features_ffnn: int | None = None):
+                 in_features_ffnn: int | None = None, compute_dtype=None):
         self.model = model
         self.spec = get_spec(model, in_features_ffnn=in_features_ffnn)
         self.params = params
         self.bn_state = bn_state
         self.flat_params = flat_params
         self.hp = space_mod.params_to_hp(model, flat_params)
+        self.compute_dtype = compute_dtype  # e.g. jnp.bfloat16 for serving
         self._fwd = jax.jit(self._forward)
 
-    def _forward(self, inputs):
+    def _forward(self, data, lo):
+        # on-device slicing: the dataset is transferred once and each
+        # micro-batch is a dynamic slice, so serving is not bound by
+        # repeated host->device copies
+        inputs = {k: jax.lax.dynamic_slice_in_dim(v, lo, self.BATCH, axis=0)
+                  for k, v in data.items()}
         logits, _ = self.spec.apply(self.params, self.bn_state, self.hp,
                                     inputs, False, jax.random.PRNGKey(0),
-                                    None, None, None)
+                                    None, self.compute_dtype, None)
         return logits
 
-    def _batch_inputs(self, data: dict, lo: int) -> dict:
+    def _device_data(self, data: dict, n_pad: int) -> dict:
         out = {}
         if "ffnn" in self.spec.inputs:
-            x = np.asarray(data["ffnn"], np.float32)[lo:lo + self.BATCH]
-            out["ffnn"] = jnp.asarray(_pad_rows(x, self.BATCH))
+            out["ffnn"] = jnp.asarray(_pad_rows(
+                np.asarray(data["ffnn"], np.float32), n_pad))
         if "cnn" in self.spec.inputs:
-            c = np.asarray(data["cnn"], np.uint8)[lo:lo + self.BATCH]
-            out["cnn"] = jnp.asarray(_pad_rows(c, self.BATCH))
+            out["cnn"] = jnp.asarray(_pad_rows(
+                np.asarray(data["cnn"], np.uint8), n_pad))
         return out
 
     def __call__(self, data: dict, logits: bool = False):
         """-> class probabilities [N, 2] (or raw logits); batched."""
         key = "ffnn" if "ffnn" in self.spec.inputs else "cnn"
         n = len(np.asarray(data[key]))
-        chunks = []
-        for lo in range(0, n, self.BATCH):
-            raw = self._fwd(self._batch_inputs(data, lo))
-            take = min(self.BATCH, n - lo)
-            chunks.append(np.asarray(raw)[:take])
-        raw = np.concatenate(chunks) if chunks else np.zeros((0, 2))
+        n_pad = -(-max(n, 1) // self.BATCH) * self.BATCH
+        dev = self._device_data(data, n_pad)
+        chunks = [self._fwd(dev, lo) for lo in range(0, n_pad, self.BATCH)]
+        raw = np.concatenate([np.asarray(c) for c in chunks])[:n]             if chunks else np.zeros((0, 2))
         if logits:
             return raw
         return np.asarray(jax.nn.softmax(jnp.asarray(raw), axis=-1))
