@@ -282,3 +282,66 @@ def test_reload_batched_inference(tmp_path, rng):
     model.BATCH = 1000
     probs2 = model(data)
     np.testing.assert_allclose(probs, probs2, atol=1e-5)
+
+
+def test_tpe_concentrates_on_good_region():
+    """Past the random-startup budget, TPE must exploit: a history where low
+    lr is clearly better should pull sampled lr down."""
+    from embracenet_tpu.hpo.samplers import TPESampler
+    from embracenet_tpu.hpo.space import model_space
+
+    sp = model_space("FFNN")
+    r = np.random.default_rng(0)
+    history = []
+    for _ in range(40):
+        params = {n: d.sample(r) for n, d in sp.items()}
+        # value peaks when lr is near 1e-4
+        value = float(np.exp(-(np.log10(params["lr"]) + 4.0) ** 2))
+        history.append((params, value))
+    tpe = TPESampler(seed=1)
+    draws = [tpe.sample(sp, history)["lr"] for _ in range(30)]
+    rand_draws = [sp["lr"].sample(np.random.default_rng(i)) for i in range(30)]
+    # TPE's draws should sit much closer to the optimum than random's
+    dist = np.median(np.abs(np.log10(draws) + 4))
+    rand_dist = np.median(np.abs(np.log10(rand_draws) + 4))
+    assert dist < rand_dist * 0.5
+
+
+def test_eval_metric_batch_averaging_parity(rng):
+    """The engine's eval AUPRC must equal the mean of per-batch argmax-AP
+    over the eval plan (reference aggregation, training_models.py:154-155)."""
+    import jax
+
+    from embracenet_tpu.config import TrainConfig
+    from embracenet_tpu.hpo import space as sp
+    from embracenet_tpu.ops import metrics
+    from embracenet_tpu.training import engine
+    from embracenet_tpu.training.batching import eval_plan
+    from embracenet_tpu.training.modelspec import get_spec
+
+    d = 6
+    n_test = 130
+    data = _tabular(rng, n=260, d=d)
+    train = {k: v[:130] for k, v in data.items()}
+    test = {k: v[130:] for k, v in data.items()}
+    spec = get_spec("FFNN", in_features_ffnn=d)
+    flat = sp.sample_params("FFNN", rng)
+    hp = sp.params_to_hp("FFNN", flat)
+    opt = sp.optimizer_hp(flat)
+    cfg = TrainConfig(num_epochs=1, epoch_chunk=1, batch_size=30)
+    res = engine.fit(spec, [hp], [opt], train, test, cfg,
+                     key=jax.random.PRNGKey(3))
+
+    # recompute by hand from the trained params over the same eval plan
+    params = jax.tree.map(lambda a: np.asarray(a)[0], res.params)
+    logits = np.asarray(spec.apply(params, {}, hp, {"ffnn": test["ffnn"]},
+                                   False, jax.random.PRNGKey(0), None,
+                                   None, None)[0])
+    plan = eval_plan(n_test, cfg.batch_size * 2, seed=123)
+    per_batch = []
+    for i in range(plan.idx.shape[0]):
+        sel = plan.idx[i][plan.mask[i] > 0]
+        per_batch.append(float(metrics.auprc_argmax(
+            logits[sel], test["y"][sel])))
+    want = float(np.mean(per_batch))
+    assert res.auprc_test[0][-1] == pytest.approx(want, abs=1e-5)
