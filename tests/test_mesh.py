@@ -49,3 +49,37 @@ def test_fit_mesh_requires_divisible_population(rng):
         engine.fit(spec, [hp] * 3, [opt] * 3, data, data,
                    TrainConfig(num_epochs=1, epoch_chunk=1, batch_size=20),
                    mesh=m)
+
+
+def test_mesh_fit_matches_unsharded(rng):
+    """Sharding over ('trial','data') must not change training results:
+    same seeds => same per-epoch metrics as the unsharded run."""
+    from embracenet_tpu.config import TrainConfig
+    from embracenet_tpu.hpo import space
+    from embracenet_tpu.training import engine
+    from embracenet_tpu.training.modelspec import get_spec
+
+    d = 12
+    data = {"ffnn": rng.normal(size=(200, d)).astype(np.float32),
+            "y": (rng.random(200) < 0.4).astype(np.int64)}
+    train = {k: v[:150] for k, v in data.items()}
+    test = {k: v[150:] for k, v in data.items()}
+    spec = get_spec("FFNN", in_features_ffnn=d)
+    hps, opts = [], []
+    for t in range(2):
+        flat = space.sample_params("FFNN", np.random.default_rng(t))
+        flat["dropout_l0"] = 0.0  # deterministic layer 0 for tight tolerance
+        hps.append(space.params_to_hp("FFNN", flat))
+        opts.append(space.optimizer_hp(flat))
+    cfg = TrainConfig(num_epochs=3, epoch_chunk=3, batch_size=50)
+
+    r_plain = engine.fit(spec, hps, opts, train, test, cfg,
+                         key=jax.random.PRNGKey(5))
+    mesh = M.make_mesh(n_trial=2, n_data=4)
+    r_mesh = engine.fit(spec, hps, opts, train, test, cfg,
+                        key=jax.random.PRNGKey(5), mesh=mesh)
+    for t in range(2):
+        np.testing.assert_allclose(r_mesh.auprc_test[t],
+                                   r_plain.auprc_test[t], atol=1e-4)
+        np.testing.assert_allclose(r_mesh.auprc_train[t],
+                                   r_plain.auprc_train[t], atol=1e-4)
