@@ -71,3 +71,21 @@ def test_step_timer():
         pass
     s = t.summary()
     assert s["a"]["count"] == 2
+
+
+def test_device_trace_writes_profile(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from embracenet_tpu.utils.profiling import annotate, device_trace
+
+    with device_trace(str(tmp_path)):
+        with annotate("matmul"):
+            x = jnp.ones((64, 64))
+            jax.block_until_ready(jax.jit(lambda a: a @ a)(x))
+    import os
+
+    found = []
+    for root, _, files in os.walk(tmp_path):
+        found += files
+    assert found, "profiler trace produced no files"
