@@ -110,21 +110,25 @@ def auroc(scores, target, mask=None):
     if mask is None:
         mask = jnp.ones_like(target)
     mask = mask.astype(jnp.float32)
+    import jax.lax
+
     neg_inf = jnp.finfo(jnp.float32).min
     s = jnp.where(mask > 0, scores, neg_inf)
-    # average ranks (ties) over the masked entries: double argsort gives
-    # ordinal ranks; average tied groups via the midpoint of cum-positions
+    n = s.shape[0]
+    # tie-averaged ranks in O(n log n): sort, find runs of equal values,
+    # rank of every member of a run = midpoint of the run's positions
+    # (an O(n^2) pairwise version would need ~26 GB at dataset scale)
     order = jnp.argsort(s)
-    ranks = jnp.zeros_like(s).at[order].set(
-        jnp.arange(1, s.shape[0] + 1, dtype=jnp.float32))
-    # tie-average: rank_i <- mean rank of equal values
-    def tie_avg(r, v):
-        # for each element, average rank over elements with the same value
-        same = (v[:, None] == v[None, :]) & (mask[:, None] > 0) & (mask[None, :] > 0)
-        cnt = jnp.maximum(jnp.sum(same, axis=1), 1.0)
-        return jnp.sum(jnp.where(same, r[None, :], 0.0), axis=1) / cnt
-
-    ranks = tie_avg(ranks, s)
+    s_sorted = jnp.take(s, order)
+    pos = jnp.arange(n, dtype=jnp.float32)
+    prev = jnp.concatenate([jnp.full(1, jnp.nan), s_sorted[:-1]])
+    is_run_start = s_sorted != prev
+    run_first = jax.lax.cummax(jnp.where(is_run_start, pos, -1.0))
+    nxt = jnp.concatenate([s_sorted[1:], jnp.full(1, jnp.nan)])
+    is_run_end = s_sorted != nxt
+    run_last = -jax.lax.cummax(jnp.where(is_run_end, -pos, -jnp.inf)[::-1])[::-1]
+    avg_rank_sorted = (run_first + run_last) / 2.0 + 1.0
+    ranks = jnp.zeros_like(s).at[order].set(avg_rank_sorted)
     n_pos = jnp.sum(target * mask)
     n_neg = jnp.sum((1.0 - target) * mask)
     # masked entries rank lowest; subtract their contribution to pos ranks
