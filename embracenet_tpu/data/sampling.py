@@ -83,7 +83,9 @@ def smote_oversample(x: np.ndarray, y: np.ndarray, n_new_pos: int = None,
 
         nn_idx = runtime.knn_native(xc, xc, k, self_exclude=True)
         if nn_idx is None:
-            d2 = ((xc[:, None, :] - xc[None, :, :]) ** 2).sum(-1)
+            # Gram-matrix distances: [n, n] memory, never [n, n, d]
+            sq = (xc ** 2).sum(1)
+            d2 = sq[:, None] + sq[None, :] - 2.0 * (xc @ xc.T)
             np.fill_diagonal(d2, np.inf)
             nn_idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
         base = rng.integers(0, len(xc), n_new)
