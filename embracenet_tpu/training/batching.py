@@ -64,7 +64,13 @@ def balanced_plan(y: np.ndarray, batch_size: int, seed: int = 123) -> BatchPlan:
 def eval_plan(n: int, batch_size: int, seed: int = 123) -> BatchPlan:
     """Shuffled fixed-size batching (reference test loader:
     ``DataLoader(batch_size=batch_size*2, shuffle=True)``,
-    `training_models.py:477`; caller passes the doubled size)."""
+    `training_models.py:477`; caller passes the doubled size).
+
+    Documented divergence: the reference reshuffles the test loader every
+    epoch; here the order is shuffled once so the plan stays static under
+    jit.  Only the batch-mean aggregation of per-batch metrics is sensitive
+    to composition, and the effect is far below the reference's own
+    fold-to-fold std."""
     order = np.random.default_rng(seed).permutation(n).astype(np.int32)
     n_batches = -(-n // batch_size)
     idx = np.zeros((n_batches, batch_size), np.int32)
