@@ -20,11 +20,17 @@ import numpy as np
 _SEP = "|"
 
 
+_LIST_MARK = "#"
+
+
 def _flatten(tree, prefix=""):
     out = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}{_SEP}"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{_LIST_MARK}{i}{_SEP}"))
     else:
         out[prefix.rstrip(_SEP)] = np.asarray(tree)
     return out
@@ -38,7 +44,16 @@ def _unflatten(flat: dict):
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = value
-    return tree
+
+    def restore_lists(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: restore_lists(v) for k, v in node.items()}
+        if node and all(k.startswith(_LIST_MARK) for k in node):
+            return [node[f"{_LIST_MARK}{i}"] for i in range(len(node))]
+        return node
+
+    return restore_lists(tree)
 
 
 def save_checkpoint(path: str, trees: dict, meta: dict | None = None):

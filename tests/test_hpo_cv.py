@@ -345,3 +345,25 @@ def test_eval_metric_batch_averaging_parity(rng):
             logits[sel], test["y"][sel])))
     want = float(np.mean(per_batch))
     assert res.auprc_test[0][-1] == pytest.approx(want, abs=1e-5)
+
+
+def test_run_search_sequential_fallback_cnn_lstm(tmp_path, rng):
+    """Non-vmappable families (CNN_LSTM) run HPO trials sequentially."""
+    n = 100
+    codes = rng.integers(0, 4, size=(n, 256)).astype(np.uint8)
+    y = (rng.random(n) < 0.4).astype(np.int64)
+    data = {"cnn": codes, "y": y}
+    train = {k: v[:70] for k, v in data.items()}
+    val = {k: v[70:] for k, v in data.items()}
+    spec = get_spec("CNN_LSTM")
+    assert not spec.vmappable
+    res = run_search(spec, "CNN_LSTM", train, val, "lstm_1",
+                     storage=str(tmp_path / "l.db"), sampler="random",
+                     n_trials=2,
+                     train_cfg=TrainConfig(num_epochs=1, epoch_chunk=1,
+                                           batch_size=35),
+                     checkpoint_dir=str(tmp_path), seed=0)
+    assert res.n_complete == 2
+    assert np.isfinite(res.best_value)
+    assert res.best_model is not None
+    assert "LSTM_hidden_layer_size" in res.best_params
