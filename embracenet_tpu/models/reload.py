@@ -47,6 +47,7 @@ class ReloadedModel:
         self.bn_state = bn_state
         self.flat_params = flat_params
         self.hp = space_mod.params_to_hp(model, flat_params)
+        self.statics = self.spec.statics([self.hp]) if self.spec.statics else {}
         self.compute_dtype = compute_dtype  # e.g. jnp.bfloat16 for serving
         self._fwd = jax.jit(self._forward)
 
@@ -58,7 +59,7 @@ class ReloadedModel:
                   for k, v in data.items()}
         logits, _ = self.spec.apply(self.params, self.bn_state, self.hp,
                                     inputs, False, jax.random.PRNGKey(0),
-                                    None, self.compute_dtype, None)
+                                    None, self.compute_dtype, self.statics)
         return logits
 
     def _device_data(self, data: dict, n_pad: int) -> dict:

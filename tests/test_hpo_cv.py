@@ -367,3 +367,27 @@ def test_run_search_sequential_fallback_cnn_lstm(tmp_path, rng):
     assert np.isfinite(res.best_value)
     assert res.best_model is not None
     assert "LSTM_hidden_layer_size" in res.best_params
+
+
+def test_reload_cnn_lstm_checkpoint(tmp_path, rng):
+    """CNN_LSTM checkpoints reload and predict (statics derived from hp)."""
+    import jax
+
+    from embracenet_tpu import api
+    from embracenet_tpu.hpo import space as sp
+    from embracenet_tpu.training.checkpoint import save_checkpoint
+
+    flat = {"n_layers": 1, "out_channels_l0": 16, "kernel_size_l0": 5,
+            "dropout_l0": 0.0, "LSTM_hidden_layer_size": 32,
+            "LSTM_n_layers": 1}
+    hp = sp.params_to_hp("CNN_LSTM", flat)
+    spec = get_spec("CNN_LSTM")
+    params, bn = spec.init(jax.random.PRNGKey(0), hp)
+    path = str(tmp_path / "lstm_ck")
+    save_checkpoint(path, {"params": params, "bn_state": bn},
+                    meta={"model": "CNN_LSTM", "model_params": flat})
+    data = {"cnn": rng.integers(0, 4, size=(20, 256)).astype(np.uint8),
+            "y": np.zeros(20, np.int64)}
+    probs = api.predict(path, data)
+    assert probs.shape == (20, 2)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
