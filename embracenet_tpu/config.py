@@ -100,6 +100,12 @@ class TrainConfig:
     pad_ffnn_features: int | None = None  # pad tabular features to a fixed
     #                                 width -> one compiled program across
     #                                 cell lines (zero columns are inert)
+    eval_reshuffle: bool = False    # strict parity: reference's test loader
+    #                                 reshuffles EVERY epoch (DataLoader
+    #                                 shuffle=True, training_models.py:477);
+    #                                 default keeps one static eval order
+    #                                 (only batch-mean metric aggregation is
+    #                                 composition-sensitive)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -76,7 +76,16 @@ class Study:
         self.study_name = study_name
         self.storage = storage
         self.direction = direction
-        self._conn = sqlite3.connect(storage)
+        # Cross-process hardening: WAL lets concurrent sweep processes read
+        # while one writes; the busy timeout makes writers queue instead of
+        # raising "database is locked" (reference relies on optuna's
+        # sqlalchemy layer for this, `training_models.py:361-374`).
+        self._conn = sqlite3.connect(storage, timeout=30.0)
+        try:
+            self._conn.execute("PRAGMA journal_mode=WAL")
+        except sqlite3.OperationalError:
+            pass  # e.g. read-only or network filesystems; keep default mode
+        self._conn.execute("PRAGMA busy_timeout=30000")
         self._conn.execute(
             "CREATE TABLE IF NOT EXISTS trials ("
             " study TEXT, number INTEGER, state TEXT, value REAL,"

@@ -97,13 +97,13 @@ def run_sweep(pipelines: dict | None = None,
                     results.save()
                 if len(variants) == 2:
                     try:
-                        winner = select_augmented_models(
+                        # Mutates results.data in place: copies the winner
+                        # entry to the "FFNN" key and sets the bug-compat
+                        # best_augmentation label (utils.py:302-353).
+                        select_augmented_models(
                             results.data, cell, task,
                             checkpoint_dir=checkpoint_dir,
                             n_folds=cv_cfg.n_folds)
-                        results.set_best_augmentation(cell, task, winner)
-                        results.update(cell, task, "FFNN", results.get(
-                            cell, task, f"FFNN_{winner}"))
                         results.save()
                     except ValueError:
                         pass

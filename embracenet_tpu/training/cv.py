@@ -226,6 +226,18 @@ class KfoldCV:
                     for r in range(n_rep)]
                 init_params = engine.stack_trials([r[0] for r in resets])
                 init_bn = engine.stack_trials([r[1] for r in resets])
+            else:
+                # Without the best trial's checkpoint the retrain starts from
+                # a fresh init and LOSES the reference's keep-trained-BN
+                # weight_reset quirk (training_models.py:511-520) — say so
+                # instead of silently diverging.
+                import warnings
+
+                warnings.warn(
+                    f"{study_name} fold {fold}: best-trial checkpoint "
+                    "missing; retraining from a fresh init (the reference's "
+                    "weight_reset would have kept HPO-trained BatchNorm "
+                    "state)", RuntimeWarning, stacklevel=2)
 
             result = engine.fit(spec, [hp] * n_rep, [opt] * n_rep,
                                 trainval_d, test_d,

@@ -99,8 +99,8 @@ def _epoch_fns_cached(spec: ModelSpec, cfg: TrainConfig, compute_dtype,
     """Reuse jitted epoch fns across fit() calls: jax's jit cache keys on
     function identity, so rebuilding closures per call forces a recompile.
     With shape bucketing (below), repeated folds/cells hit the XLA cache."""
-    key = (id(spec), cfg.auprc_on_probabilities, str(compute_dtype),
-           tuple(sorted(statics.items())))
+    key = (id(spec), cfg.auprc_on_probabilities, cfg.eval_reshuffle,
+           str(compute_dtype), tuple(sorted(statics.items())))
     if key not in _EPOCH_FN_CACHE:
         _EPOCH_FN_CACHE[key] = _make_epoch_fns(spec, cfg, compute_dtype,
                                                statics)
@@ -180,17 +180,23 @@ def _make_epoch_fns(spec: ModelSpec, cfg: TrainConfig, compute_dtype, statics=No
         ``es`` = (best, counter, stopped, epochs_run).  Stopped trials stay
         in the scan but freeze their parameters (the ``active`` mask), which
         costs nothing extra wall-clock in a vmapped population.
+
+        With ``cfg.eval_reshuffle`` the eval plan carries a leading per-epoch
+        axis (reference reshuffles the test loader every epoch,
+        `training_models.py:477`) and is consumed as scan xs.
         """
 
-        def epoch_body(carry, _):
+        def epoch_body(carry, xs):
             params, bn_state, opt_state, key, es = carry
+            t_idx, t_mask = xs if cfg.eval_reshuffle \
+                else (tplan_idx, tplan_mask)
             best, counter, stopped, epochs_run = es
             active = jnp.logical_not(stopped)
             params, bn_state, opt_state, key, loss_sum, auprc_sum = \
                 train_epoch_one(params, bn_state, opt_state, key, active,
                                 hp, opt_hp, data_train, plan_idx, plan_mask)
             tloss, t_auprc_sum, f1_sum = eval_epoch_one(
-                params, bn_state, hp, data_test, tplan_idx, tplan_mask)
+                params, bn_state, hp, data_test, t_idx, t_mask)
 
             # EarlyStopping parity (models/utils/utils.py:23-67) on the
             # batch-averaged test AUPRC
@@ -209,8 +215,9 @@ def _make_epoch_fns(spec: ModelSpec, cfg: TrainConfig, compute_dtype, statics=No
             out = (loss_sum, auprc_sum, t_auprc_sum, f1_sum, new_stopped)
             return (params, bn_state, opt_state, key, es), out
 
+        xs = (tplan_idx, tplan_mask) if cfg.eval_reshuffle else None
         carry, outs = jax.lax.scan(
-            epoch_body, (params, bn_state, opt_state, key, es), None,
+            epoch_body, (params, bn_state, opt_state, key, es), xs,
             length=n_epochs)
         return carry, outs
 
@@ -336,6 +343,18 @@ def fit(spec: ModelSpec,
     tplan_idx, tplan_mask = map(jnp.asarray, _pad_plan(
         tplan, batch_target=st.get("eval_batches")))
 
+    n_test = len(np.asarray(data_test["y"]))
+
+    def _eval_plans_for(epoch_lo: int, n_ep: int):
+        """Stacked per-epoch eval plans [n_ep, nb, bw] for eval_reshuffle
+        (reference test DataLoader shuffle=True, training_models.py:477)."""
+        padded = [_pad_plan(eval_plan(n_test, cfg.batch_size * 2,
+                                      seed=123 + ep),
+                            batch_target=st.get("eval_batches"))
+                  for ep in range(epoch_lo, epoch_lo + n_ep)]
+        return (jnp.asarray(np.stack([p[0] for p in padded])),
+                jnp.asarray(np.stack([p[1] for p in padded])))
+
     trial_keys = jax.random.split(key, n_trials)
     # NB: construct from concrete numpy so avals are non-weak from the first
     # call — weak-typed scalars here caused a silent retrace (and a second
@@ -376,6 +395,14 @@ def fit(spec: ModelSpec,
     epochs_done = 0
     while epochs_done < cfg.num_epochs and not all(done):
         n_ep = min(cfg.epoch_chunk, cfg.num_epochs - epochs_done)
+        if cfg.eval_reshuffle:
+            tplan_idx, tplan_mask = _eval_plans_for(epochs_done, n_ep)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                s3 = NamedSharding(mesh, P(None, None, "data"))
+                tplan_idx = jax.device_put(tplan_idx, s3)
+                tplan_mask = jax.device_put(tplan_mask, s3)
         (params, bn_state, opt_state, trial_keys, es), outs = chunk_fn(
             params, bn_state, opt_state, trial_keys, es, hp, opt_hp,
             train_data, plan_idx, plan_mask,

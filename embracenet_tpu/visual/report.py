@@ -217,28 +217,46 @@ def compare_model_overall_performance(results: dict,
 
 def select_augmented_models(results: dict, cell_line: str, task: str,
                             checkpoint_dir: str = "models",
-                            n_folds: int = 3) -> str:
-    """Pick the better FFNN rebalancing variant (smote vs double) by
-    Wilcoxon rank-sum over fold AUPRCs and copy its fold checkpoints to the
-    canonical names (`models/utils/utils.py:302-353`).  Returns the winner.
+                            n_folds: int = 3, model_name: str = "FFNN",
+                            augm_1: str = "smote", augm_2: str = "double",
+                            fix_label_bug: bool = False) -> str:
+    """Pick the better FFNN rebalancing variant by the reference's *realized*
+    rule (`models/utils/utils.py:302-353`, the second definition which
+    shadows the first): ``augm_2`` wins iff the rank-sum p-value over the
+    fold AUPRC lists is < 0.3 AND ``average_CV_AUPRC[augm_2] >=
+    average_CV_AUPRC[augm_1]``; otherwise ``augm_1`` wins.  The winner's
+    entry is copied to ``results[cell][task][model_name]`` and its fold
+    checkpoints to the canonical names.
+
+    Bug-compat: the reference's else-branch sets ``best_augmentation`` to
+    ``augm_2`` even when ``augm_1`` wins (``utils.py:342``, marked
+    "#SISTEMA IN CV" — BASELINE.md confirms every pickle entry reads
+    'double').  We reproduce that by default; ``fix_label_bug=True`` records
+    the actual winner instead.  Returns the winner name.
     """
+    import copy
     import shutil
 
     from embracenet_tpu.training.cv import checkpoint_name
 
     node = results.get(cell_line, {}).get(task, {})
-    smote = node.get("FFNN_smote", {}).get("final_test_AUPRC_scores")
-    double = node.get("FFNN_double", {}).get("final_test_AUPRC_scores")
-    if not smote or not double:
-        raise ValueError("need FFNN_smote and FFNN_double entries to compare")
-    _, p = ranksums(smote, double)
-    winner = "double" if (p >= 0.05 and np.mean(double) >= np.mean(smote)) \
-        or (p < 0.05 and np.mean(double) > np.mean(smote)) else "smote"
+    e1 = node.get(f"{model_name}_{augm_1}", {})
+    e2 = node.get(f"{model_name}_{augm_2}", {})
+    s1 = e1.get("final_test_AUPRC_scores")
+    s2 = e2.get("final_test_AUPRC_scores")
+    if not s1 or not s2:
+        raise ValueError(
+            f"need {model_name}_{augm_1} and {model_name}_{augm_2} entries")
+    _, p = ranksums(s1, s2)
+    winner = augm_2 if (p < 0.3 and e2.get("average_CV_AUPRC", -np.inf)
+                        >= e1.get("average_CV_AUPRC", -np.inf)) else augm_1
+    node[model_name] = copy.deepcopy(node[f"{model_name}_{winner}"])
+    node["best_augmentation"] = winner if fix_label_bug else augm_2
     for fold in range(n_folds):
         src = os.path.join(checkpoint_dir, checkpoint_name(
-            cell_line, f"FFNN_{winner}", task, fold) + ".npz")
+            cell_line, f"{model_name}_{winner}", task, fold) + ".npz")
         dst = os.path.join(checkpoint_dir, checkpoint_name(
-            cell_line, "FFNN", task, fold) + ".npz")
+            cell_line, model_name, task, fold) + ".npz")
         if os.path.exists(src):
             shutil.copy(src, dst)
     return winner

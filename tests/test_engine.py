@@ -179,3 +179,61 @@ def test_cnn_lstm_mixed_population_rejected(rng):
         "dropout_l0": 0.0, "LSTM_hidden_layer_size": 32, "LSTM_n_layers": 1})
     with pytest.raises(ValueError):
         spec.statics([hp1, hp2])
+
+
+def test_eval_reshuffle_single_batch_parity(rng):
+    """With the whole test set in ONE eval batch, per-epoch reshuffle cannot
+    change the batch-mean metrics (AUPRC is order-invariant within a batch),
+    so eval_reshuffle=True must reproduce the static plan bit-for-bit."""
+    from embracenet_tpu.hpo import space
+
+    data = _synthetic_tabular(rng, n=260)
+    train = {k: v[:200] for k, v in data.items()}
+    test = {k: v[200:] for k, v in data.items()}  # 60 rows < 2*batch_size
+    spec = get_spec("FFNN", in_features_ffnn=16)
+    hp = space.params_to_hp("FFNN", {
+        "n_layers": 1, "n_units_l0": 32, "n_units_l1": 16,
+        "n_units_l2": 4, "n_units_l3": 4, "dropout_l0": 0.0,
+        "dropout_l1": 0.0, "dropout_l2": 0.0, "dropout_l3": 0.0})
+    opt = {"optimizer": np.int32(0), "lr": np.float32(1e-3),
+           "weight_decay": np.float32(1e-4)}
+    base = TrainConfig(num_epochs=6, batch_size=64, epoch_chunk=4)
+    res_static = engine.fit(spec, [hp], [opt], train, test, base)
+    res_shuf = engine.fit(spec, [hp], [opt], train, test,
+                          TrainConfig(num_epochs=6, batch_size=64,
+                                      epoch_chunk=4, eval_reshuffle=True))
+    np.testing.assert_allclose(res_shuf.auprc_test[0],
+                               res_static.auprc_test[0], rtol=1e-6)
+    np.testing.assert_allclose(res_shuf.auprc_train[0],
+                               res_static.auprc_train[0], rtol=1e-6)
+
+
+def test_eval_reshuffle_multibatch_runs_and_permutes(rng):
+    """Multi-batch eval with reshuffle: per-epoch plans are distinct
+    permutations covering all rows, and training stays finite."""
+    from embracenet_tpu.training.batching import eval_plan
+
+    n = 300
+    p1, p2 = eval_plan(n, 128, seed=123), eval_plan(n, 128, seed=124)
+    for p in (p1, p2):
+        seen = p.idx[p.mask > 0]
+        assert sorted(seen.tolist()) == list(range(n))
+    assert not np.array_equal(p1.idx, p2.idx)
+
+    from embracenet_tpu.hpo import space
+
+    data = _synthetic_tabular(rng, n=500)
+    train = {k: v[:200] for k, v in data.items()}
+    test = {k: v[200:] for k, v in data.items()}  # 300 rows -> 3 eval batches
+    spec = get_spec("FFNN", in_features_ffnn=16)
+    hp = space.params_to_hp("FFNN", {
+        "n_layers": 1, "n_units_l0": 32, "n_units_l1": 16,
+        "n_units_l2": 4, "n_units_l3": 4, "dropout_l0": 0.0,
+        "dropout_l1": 0.0, "dropout_l2": 0.0, "dropout_l3": 0.0})
+    opt = {"optimizer": np.int32(0), "lr": np.float32(1e-3),
+           "weight_decay": np.float32(1e-4)}
+    res = engine.fit(spec, [hp], [opt], train, test,
+                     TrainConfig(num_epochs=5, batch_size=64, epoch_chunk=3,
+                                 eval_reshuffle=True))
+    assert len(res.auprc_test[0]) == 5
+    assert all(np.isfinite(res.auprc_test[0]))

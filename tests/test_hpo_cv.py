@@ -391,3 +391,57 @@ def test_reload_cnn_lstm_checkpoint(tmp_path, rng):
     probs = api.predict(path, data)
     assert probs.shape == (20, 2)
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_study_concurrent_writers(tmp_path):
+    """Two processes telling trials into the same SQLite study concurrently
+    must not lose writes or raise "database is locked" (WAL + busy timeout,
+    reference's load_if_exists semantics `training_models.py:361-374`)."""
+    import subprocess
+    import sys
+
+    from embracenet_tpu.hpo.study import Study
+
+    ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    db = str(tmp_path / "conc.db")
+    n_child = 30
+    child = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from embracenet_tpu.hpo.study import Study\n"
+        "s = Study('conc', storage=%r)\n"
+        "for i in range(%d):\n"
+        "    s.tell(1000 + i, {'lr': i}, float(i))\n"
+        "s.close()\n" % (str(ROOT), db, n_child))
+    proc = subprocess.Popen([sys.executable, "-c", child],
+                            stderr=subprocess.PIPE)
+    s = Study("conc", storage=db)
+    for i in range(n_child):
+        s.tell(i, {"lr": -i}, float(i))
+    _, err = proc.communicate(timeout=120)
+    assert proc.returncode == 0, err.decode()
+    assert len(s.completed_trials()) == 2 * n_child
+    assert s.next_number() == 1000 + n_child
+    s.close()
+
+
+def test_missing_best_checkpoint_warns(tmp_path, rng, monkeypatch):
+    """If the best HPO trial's checkpoint file is missing, the retrain falls
+    back to a fresh init — losing the reference's keep-trained-BN
+    weight_reset quirk — and must WARN rather than diverge silently."""
+    import embracenet_tpu.training.cv as cv_mod
+    from embracenet_tpu.hpo.search import SearchResult
+
+    data = _tabular(rng, n=200)
+    flat = space.sample_params("FFNN", np.random.default_rng(0))
+
+    def fake_search(*args, **kwargs):
+        return SearchResult(best_params=flat, best_value=0.5,
+                            best_model=None, n_complete=1, n_pruned=0)
+
+    monkeypatch.setattr(cv_mod, "run_search", fake_search)
+    cv = KfoldCV()
+    with pytest.warns(RuntimeWarning, match="checkpoint missing"):
+        cv(data, "FFNN", task="t", cell_line="K562",
+           cv_cfg=CVConfig(n_folds=2, n_trials=1, sampler="random"),
+           train_cfg=TrainConfig(num_epochs=2, epoch_chunk=2, batch_size=60),
+           storage=str(tmp_path / "cv.db"), checkpoint_dir=str(tmp_path))

@@ -71,13 +71,25 @@ def test_plots_render(results, tmp_path):
 
 
 def test_select_augmented_models(tmp_path, results):
+    """Realized reference semantics (`models/utils/utils.py:302-353`, the
+    operative second definition): double wins iff ranksums p < 0.3 AND
+    average_CV_AUPRC[double] >= average_CV_AUPRC[smote]; else smote wins.
+    best_augmentation is ALWAYS 'double' (the reference's else-branch bug,
+    utils.py:342) unless fix_label_bug=True."""
+    from scipy.stats import ranksums
+
     from embracenet_tpu.training.checkpoint import save_checkpoint
     from embracenet_tpu.training.cv import checkpoint_name
 
-    res = {"K562": {"t": {
-        "FFNN_smote": {"final_test_AUPRC_scores": [0.2, 0.22, 0.21]},
-        "FFNN_double": {"final_test_AUPRC_scores": [0.4, 0.42, 0.41]},
-    }}}
+    def entry(scores):
+        return {"final_test_AUPRC_scores": list(scores),
+                "average_CV_AUPRC": float(np.mean(scores))}
+
+    # Case 1: clearly separated folds -> p < 0.3 and double's mean higher.
+    smote, double = [0.2, 0.22, 0.21], [0.4, 0.42, 0.41]
+    assert ranksums(smote, double)[1] < 0.3  # hand-checked gate
+    res = {"K562": {"t": {"FFNN_smote": entry(smote),
+                          "FFNN_double": entry(double)}}}
     for fold in range(3):
         save_checkpoint(
             str(tmp_path / checkpoint_name("K562", "FFNN_double", "t", fold)),
@@ -85,7 +97,35 @@ def test_select_augmented_models(tmp_path, results):
     winner = report.select_augmented_models(res, "K562", "t",
                                             checkpoint_dir=str(tmp_path))
     assert winner == "double"
+    assert res["K562"]["t"]["best_augmentation"] == "double"
+    assert res["K562"]["t"]["FFNN"] == res["K562"]["t"]["FFNN_double"]
     assert (tmp_path / (checkpoint_name("K562", "FFNN", "t", 0) + ".npz")).exists()
+
+    # Case 2: interleaved folds -> ranksums p >= 0.3, so smote wins even
+    # though double's average_CV_AUPRC is (slightly) higher.
+    smote, double = [0.30, 0.34, 0.32], [0.31, 0.33, 0.35]
+    assert ranksums(smote, double)[1] >= 0.3
+    assert np.mean(double) > np.mean(smote)
+    res = {"K562": {"t": {"FFNN_smote": entry(smote),
+                          "FFNN_double": entry(double)}}}
+    winner = report.select_augmented_models(res, "K562", "t",
+                                            checkpoint_dir=str(tmp_path))
+    assert winner == "smote"
+    # Bug-compat: label says 'double' even though smote's entry was kept.
+    assert res["K562"]["t"]["best_augmentation"] == "double"
+    assert res["K562"]["t"]["FFNN"] == res["K562"]["t"]["FFNN_smote"]
+
+    # Case 3: p < 0.3 but double's average_CV_AUPRC is LOWER -> smote wins
+    # (the gate compares average_CV_AUPRC, not fold-score means).
+    smote, double = [0.4, 0.42, 0.41], [0.2, 0.22, 0.21]
+    assert ranksums(smote, double)[1] < 0.3
+    res = {"K562": {"t": {"FFNN_smote": entry(smote),
+                          "FFNN_double": entry(double)}}}
+    winner = report.select_augmented_models(res, "K562", "t",
+                                            checkpoint_dir=str(tmp_path),
+                                            fix_label_bug=True)
+    assert winner == "smote"
+    assert res["K562"]["t"]["best_augmentation"] == "smote"  # fixed label
 
 
 def test_compare_models_result(tmp_path, rng):
