@@ -112,6 +112,30 @@ class TPESampler:
         return float(min(max(best, dist.low), dist.high))
 
 
+class ReplaySampler:
+    """Replays a fixed sequence of flat param dicts (stateful cursor).
+
+    Used for paired benchmarking (tools/parity_bench.py replays the exact
+    trial params the reference's sampler drew) and for grid/fixed searches.
+    Successive ``sample`` calls — across studies/folds — consume the list in
+    order; raises when exhausted."""
+
+    def __init__(self, params_list: list[dict]):
+        self.params_list = list(params_list)
+        self.cursor = 0
+
+    def sample(self, space: dict, history: list) -> dict:
+        if self.cursor >= len(self.params_list):
+            raise ValueError("ReplaySampler exhausted: "
+                             f"{len(self.params_list)} params provided")
+        p = dict(self.params_list[self.cursor])
+        self.cursor += 1
+        # Conditional per-layer params may be absent (the reference samples
+        # them only up to the drawn depth); params_to_hp fills defaults for
+        # those, so no validation beyond dict-ness is required here.
+        return p
+
+
 def get_sampler(name: str, seed: int = 0):
     """'random' | 'TPE' | 'BO' (reference sampler menu)."""
     if name == "random":

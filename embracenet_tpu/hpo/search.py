@@ -65,7 +65,10 @@ def run_search(spec: ModelSpec,
     remaining = max(0, n_trials - len(completed))
 
     if remaining > 0:
-        smp = get_sampler(sampler, seed=seed)
+        # `sampler` may be a name from the reference menu or a sampler
+        # object (e.g. ReplaySampler for paired benchmarks / fixed grids)
+        smp = sampler if hasattr(sampler, "sample") \
+            else get_sampler(sampler, seed=seed)
         flat_list = sample_n(smp, model, remaining, study.history())
         hp_list = [space_mod.params_to_hp(model, f) for f in flat_list]
         opt_list = [space_mod.optimizer_hp(f) for f in flat_list]

@@ -1,0 +1,428 @@
+"""Head-to-head parity bench: the REFERENCE torch pipeline vs embracenet_tpu
+on identical calibrated synthetic data.
+
+The reference's value claim is `results_dict.pickle` (average_CV_AUPRC per
+cell x task x model; BASELINE.md).  Its real data is user-downloaded and not
+shipped, so true-data parity cannot run here; this harness instead runs the
+reference's OWN code — `BIOINF_tesi.models.utils.Kfold_CV` /
+`Kfold_CV_Multimodal` imported from /root/reference, torch CPU, with the
+missing third-party deps (optuna/timm/imblearn/...) provided by thin shims in
+tools/ref_shims — and this framework's `KfoldCV` on the SAME arrays, then
+reports per-combo average_CV_AUPRC deltas.
+
+Pairing: the optuna shim records every trial's sampled params in draw order;
+the JAX side replays them via `hpo.samplers.ReplaySampler`, so both sides
+evaluate the same 3 architectures/optimizers per fold on the same KFold
+(seed 789) splits.  Remaining divergence is engine-level: init RNG, SMOTE
+draws, dropout/embracement RNG, f64 (torch) vs f32 (JAX) numerics — i.e.
+exactly what "distributional parity" must absorb.  The reference's own
+fold-to-fold std is 0.01-0.15 (BASELINE.md), so |delta| <= 0.05 counts as
+within-band.
+
+Writes PARITY_r2.json incrementally (resumable; finished combos are skipped).
+
+Usage:
+  python tools/parity_bench.py --smoke              # 1 tiny FFNN combo
+  python tools/parity_bench.py --suite ffnn         # 7 cells x 2 tasks
+  python tools/parity_bench.py --suite cnn          # sequence model subset
+  python tools/parity_bench.py --suite embracenet   # multimodal subset
+  python tools/parity_bench.py --suite concat
+  python tools/parity_bench.py --suite all
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import functools
+import json
+import os
+import random
+import shutil
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools", "ref_shims"))
+sys.path.insert(0, "/root/reference")
+sys.path.insert(0, REPO)
+
+RESULT_PATH = os.path.join(REPO, "PARITY_r2.json")
+SCRATCH = os.path.join(REPO, "artifacts", "parity_scratch")
+
+# ---------------------------------------------------------------------------
+# Calibration (BASELINE.md): baseline = positive prevalence floored at 0.1.
+# Floored rows (exactly 0.100) use prevalence 0.06 — T1/T5-style imbalance
+# that actually triggers the rebalancing path, as in the reference datasets.
+# ---------------------------------------------------------------------------
+
+TASK_CODES = {"T1": "active_E_vs_inactive_E", "T2": "active_P_vs_inactive_P",
+              "T3": "active_E_vs_active_P", "T4": "inactive_E_vs_inactive_P",
+              "T5": "active_EP_vs_inactive_rest"}
+
+BASELINES = {  # (cell, Tn) -> baseline AUPRC from BASELINE.md
+    ("A549", "T1"): 0.100, ("A549", "T2"): 0.103, ("A549", "T3"): 0.259,
+    ("A549", "T4"): 0.400, ("A549", "T5"): 0.100,
+    ("GM12878", "T1"): 0.183, ("GM12878", "T2"): 0.141,
+    ("GM12878", "T3"): 0.452, ("GM12878", "T4"): 0.376,
+    ("GM12878", "T5"): 0.157,
+    ("H1", "T1"): 0.100, ("H1", "T2"): 0.133, ("H1", "T3"): 0.186,
+    ("H1", "T4"): 0.410, ("H1", "T5"): 0.100,
+    ("HEK293", "T1"): 0.105, ("HEK293", "T2"): 0.132, ("HEK293", "T3"): 0.336,
+    ("HEK293", "T4"): 0.395, ("HEK293", "T5"): 0.121,
+    ("HEPG2", "T1"): 0.113, ("HEPG2", "T2"): 0.141, ("HEPG2", "T3"): 0.337,
+    ("HEPG2", "T4"): 0.395, ("HEPG2", "T5"): 0.130,
+    ("K562", "T1"): 0.100, ("K562", "T2"): 0.125, ("K562", "T3"): 0.306,
+    ("K562", "T4"): 0.398, ("K562", "T5"): 0.111,
+    ("MCF7", "T1"): 0.100, ("MCF7", "T2"): 0.127, ("MCF7", "T3"): 0.279,
+    ("MCF7", "T4"): 0.401, ("MCF7", "T5"): 0.108,
+}
+
+# Post-selection feature-count stand-ins per cell line (reference raw dims
+# are 52-566; H1 is 48 post-selection per Data_preprocessing.ipynb cell 27).
+FEATURES = {"A549": 52, "GM12878": 96, "H1": 48, "HEK293": 160,
+            "HEPG2": 256, "K562": 128, "MCF7": 112}
+
+# Row counts: reference scale / ~32 (T1 63k, T2 100k, T3 14-26k, T4 140k,
+# T5 163k), capped for torch-CPU feasibility on this 1-core box.
+ROWS_TAB = {"T1": 2000, "T2": 2600, "T3": 1400, "T4": 2600, "T5": 2600}
+ROWS_SEQ = 1200  # conv stacks in float64 on 1 CPU core are the bottleneck
+
+MOTIF = "gattacagat"
+
+
+def prevalence_for(cell: str, tcode: str) -> float:
+    b = BASELINES[(cell, tcode)]
+    return 0.06 if b <= 0.101 else b
+
+
+def make_dataset(cell: str, tcode: str, n: int, seed: int):
+    """Calibrated two-modality synthetic dataset.
+
+    Tabular: d features (FEATURES[cell]), an informative subspace shifted by
+    class with per-row penetrance U(0,1) so positives span easy->impossible
+    (mid-range AUPRC, discriminative between models).  MinMax-scaled to [0,1]
+    like the reference's post-preprocessing matrices.
+    Sequence: 256-bp windows; MOTIF planted in 65% of positives at a random
+    position, and in 8% of negatives (background hits).
+    """
+    rng = np.random.default_rng(seed)
+    d = FEATURES[cell]
+    prev = prevalence_for(cell, tcode)
+    y = (rng.random(n) < prev).astype(np.int64)
+    if y.sum() < 12:
+        y[rng.choice(n, 12, replace=False)] = 1
+
+    d_inf = max(4, d // 6)
+    w = rng.normal(size=d_inf)
+    w /= np.linalg.norm(w)
+    x = rng.normal(size=(n, d))
+    penetrance = rng.random(n)
+    x[:, :d_inf] += np.outer((2.0 * y - 1.0) * penetrance, w) * 1.6
+    x = (x - x.min(0)) / (x.max(0) - x.min(0) + 1e-9)
+
+    codes = rng.integers(0, 4, size=(n, 256)).astype(np.uint8)
+    motif_codes = np.asarray(["acgt".index(c) for c in MOTIF], np.uint8)
+    carriers = np.flatnonzero((y == 1) & (rng.random(n) < 0.65))
+    bg = np.flatnonzero((y == 0) & (rng.random(n) < 0.08))
+    for i in np.concatenate([carriers, bg]):
+        pos = rng.integers(0, 256 - len(MOTIF))
+        codes[i, pos:pos + len(MOTIF)] = motif_codes
+    seqs = ["".join("acgt"[c] for c in row) for row in codes]
+
+    X_tab = pd.DataFrame(x, columns=[f"f{j}" for j in range(d)])
+    fa = pd.Series(seqs)
+    return X_tab, fa, codes, pd.Series(y)
+
+
+# ---------------------------------------------------------------------------
+# reference side
+# ---------------------------------------------------------------------------
+
+class _StubDataClass:
+    """Minimal stand-in for Data_Prepare: the only surface Kfold_CV(_Multimodal)
+    touches is return_index_data_for_cv (`training_models.py:640-642`,
+    `training_models_multimodal.py:718-722`)."""
+
+    def __init__(self, X_tab: pd.DataFrame, fa: pd.Series, y: pd.Series):
+        self.X_tab, self.fa, self.y = X_tab, fa, y
+
+    def return_index_data_for_cv(self, cell_line, sequence=False, n_folds=3,
+                                 random_state=789):
+        from sklearn.model_selection import KFold
+
+        kf = KFold(n_splits=n_folds, shuffle=True, random_state=random_state)
+        X = self.fa if sequence else self.X_tab
+        return kf, X.copy(), self.y.copy()
+
+
+class _StubPipeline:
+    def __init__(self, data_class):
+        self.data_class = data_class
+
+
+def run_reference(cell, task, model_name, X_tab, fa, y, num_epochs, seed,
+                  scratch, log_fh):
+    """Run the reference's own Kfold_CV / Kfold_CV_Multimodal (torch CPU)."""
+    import torch
+
+    torch.set_num_threads(1)
+    if not getattr(torch.load, "_parity_patched", False):
+        # the reference pickles whole models (`training_models.py:350,383`);
+        # torch >= 2.6 defaults weights_only=True
+        torch.load = functools.partial(torch.load, weights_only=False)
+        torch.load._parity_patched = True
+    if not getattr(torch.tensor, "_parity_patched", False):
+        # old torch accepted pd.Series in torch.tensor (`dataprepare.py:406`)
+        _orig_tensor = torch.tensor
+
+        def tensor_compat(data, *a, **k):
+            if isinstance(data, (pd.Series, pd.DataFrame)):
+                data = np.asarray(data)
+            return _orig_tensor(data, *a, **k)
+
+        tensor_compat._parity_patched = True
+        torch.tensor = tensor_compat
+
+    import optuna  # the shim
+    import BIOINF_tesi.data_pipe.dataprepare as ref_dp
+    import BIOINF_tesi.data_pipe.utils as ref_dputils
+    import BIOINF_tesi.models as ref_models
+    import BIOINF_tesi.models.utils.training_models as tm
+    import BIOINF_tesi.models.utils.training_models_multimodal as tmm
+
+    # sklearn >= 1.4 renamed OneHotEncoder(sparse=) to sparse_output=; the
+    # reference targets the old API (`dataprepare.py:390`, `utils.py:270`).
+    if not getattr(ref_dp.OneHotEncoder, "_parity_patched", False):
+        from sklearn.preprocessing import OneHotEncoder as _OHE
+
+        def _compat_ohe(*a, sparse=None, **k):  # factory, not an estimator
+            if sparse is not None:
+                k["sparse_output"] = sparse
+            return _OHE(*a, **k)
+
+        _compat_ohe._parity_patched = True
+        ref_dp.OneHotEncoder = _compat_ohe
+        ref_dputils.OneHotEncoder = _compat_ohe
+
+    # The realized code passes checkpoint_path='' so every unimodal fold
+    # saves/loads the SAME file '.pt' (`training_models.py:524,71-76`) —
+    # folds 2-3 would silently reload fold 1 (and published fold scores
+    # clearly differ, so the published runs did not hit this).  Clear it
+    # between fits so each fold trains fresh.
+    if not getattr(tm.fit, "_parity_patched", False):
+        orig_fit = tm.fit
+        counter = [0]
+
+        def fit_fresh(*a, **k):
+            # modern torch.save also refuses the literal filename '.pt';
+            # substitute a unique fresh name (never pre-existing, so no
+            # short-circuit; still saved, as the original intended)
+            if k.get("checkpoint_path") == ".pt":
+                counter[0] += 1
+                k["checkpoint_path"] = f"_retrain_ck_{counter[0]}.pt"
+            if os.path.exists(k.get("checkpoint_path", "")):
+                os.remove(k["checkpoint_path"])
+            return orig_fit(*a, **k)
+
+        fit_fresh._parity_patched = True
+        tm.fit = fit_fresh
+
+    optuna.reset_studies()
+    optuna.seed(seed)
+    np.random.seed(seed)
+    random.seed(seed)
+    torch.manual_seed(seed)
+
+    stub = _StubPipeline(_StubDataClass(X_tab, fa, y))
+    cwd = os.getcwd()
+    os.makedirs(os.path.join(scratch, "models"), exist_ok=True)
+    os.chdir(scratch)
+    t0 = time.time()
+    try:
+        with contextlib.redirect_stdout(log_fh), \
+                contextlib.redirect_stderr(log_fh):
+            if model_name in ("FFNN", "CNN"):
+                cv = tm.Kfold_CV()
+                cv(stub, cell, "cpu", task=task,
+                   sequence=(model_name == "CNN"),
+                   model=getattr(ref_models, model_name),
+                   n_folds=3, num_epochs=num_epochs, batch_size=100,
+                   study_name=f"{cell}_{task}_{model_name}", sampler="TPE",
+                   test_model_path="best")
+            else:
+                cv = tmm.Kfold_CV_Multimodal()
+                cv(stub, cell_line=cell, device="cpu", task=task,
+                   model=getattr(ref_models, model_name),
+                   n_folds=3, num_epochs=num_epochs, batch_size=100,
+                   study_name=f"{cell}_{task}_{model_name}", sampler="TPE",
+                   test_model_path="best")
+    finally:
+        os.chdir(cwd)
+    wall = time.time() - t0
+    scores = {
+        "average_CV_AUPRC": float(cv.scores_dict["average_CV_AUPRC"]),
+        "final_test_AUPRC_scores":
+            [float(v) for v in cv.scores_dict["final_test_AUPRC_scores"]],
+    }
+    return scores, optuna.all_trials_in_order(), wall
+
+
+# ---------------------------------------------------------------------------
+# jax side
+# ---------------------------------------------------------------------------
+
+def run_jax(cell, task, model_name, x_tab, codes, y, num_epochs,
+            trial_params, scratch):
+    from embracenet_tpu.config import CVConfig, TrainConfig
+    from embracenet_tpu.hpo.samplers import ReplaySampler
+    from embracenet_tpu.training.cv import KfoldCV
+
+    data = {"y": np.asarray(y, np.int64)}
+    if model_name != "CNN":
+        data["ffnn"] = np.asarray(x_tab, np.float32)
+    if model_name != "FFNN":
+        data["cnn"] = np.asarray(codes, np.uint8)
+
+    t0 = time.time()
+    cv = KfoldCV()
+    scores = cv(
+        data, model_name, task=task, cell_line=cell,
+        cv_cfg=CVConfig(n_folds=3, n_trials=3,
+                        sampler=ReplaySampler(trial_params)),
+        train_cfg=TrainConfig(num_epochs=num_epochs, batch_size=100,
+                              eval_reshuffle=True),
+        storage=os.path.join(scratch, "jax.db"),
+        checkpoint_dir=os.path.join(scratch, "jax_models"),
+        random_state=789, resume=False, verbose=False)
+    wall = time.time() - t0
+    return {
+        "average_CV_AUPRC": float(scores["average_CV_AUPRC"]),
+        "final_test_AUPRC_scores":
+            [float(v) for v in scores["final_test_AUPRC_scores"]],
+    }, wall
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+SUITES = {
+    # FFNN is cheap on torch-CPU: cover every cell on two task profiles
+    "ffnn": [("FFNN", cell, t) for cell in FEATURES for t in ("T2", "T3")],
+    # conv stacks in f64 on one core are ~30x dearer: representative subset
+    "cnn": [("CNN", cell, "T3") for cell in ("K562", "H1", "A549")],
+    "embracenet": [("EmbraceNetMultimodal", cell, "T2")
+                   for cell in ("K562", "GM12878", "MCF7")],
+    "concat": [("ConcatNetMultimodal", cell, "T2")
+               for cell in ("K562", "HEPG2")],
+}
+SUITES["all"] = SUITES["ffnn"] + SUITES["cnn"] + SUITES["embracenet"] \
+    + SUITES["concat"]
+
+
+def load_results():
+    if os.path.exists(RESULT_PATH):
+        with open(RESULT_PATH) as fh:
+            return json.load(fh)
+    return {"meta": {"band": 0.05, "paired_trials": True,
+                     "torch": "reference code from /root/reference "
+                              "(deps shimmed, see tools/ref_shims)"},
+            "combos": {}}
+
+
+def save_results(res):
+    done = [c for c in res["combos"].values() if "delta" in c]
+    if done:
+        within = sum(1 for c in done if abs(c["delta"]) <= 0.05)
+        res["meta"]["n_done"] = len(done)
+        res["meta"]["n_within_band"] = within
+        res["meta"]["frac_within_band"] = round(within / len(done), 4)
+        res["meta"]["mean_abs_delta"] = round(
+            float(np.mean([abs(c["delta"]) for c in done])), 4)
+    with open(RESULT_PATH, "w") as fh:
+        json.dump(res, fh, indent=1)
+
+
+def run_combo(model_name, cell, tcode, num_epochs, res, n_override=None):
+    key = f"{cell}/{tcode}/{model_name}"
+    if key in res["combos"] and "delta" in res["combos"][key]:
+        print(f"skip {key} (done)")
+        return
+    task = TASK_CODES[tcode]
+    n = n_override or (ROWS_TAB[tcode] if model_name == "FFNN" else ROWS_SEQ)
+    seed = abs(hash((cell, tcode, model_name))) % (2 ** 31)
+    X_tab, fa, codes, y = make_dataset(cell, tcode, n, seed)
+
+    scratch = os.path.join(SCRATCH, key.replace("/", "_"))
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    print(f"=== {key}: n={n}, d={X_tab.shape[1]}, "
+          f"prev={float((y == 1).mean()):.3f}, epochs={num_epochs}")
+
+    with open(os.path.join(scratch, "ref.log"), "w") as log_fh:
+        ref_scores, trial_params, ref_wall = run_reference(
+            cell, task, model_name, X_tab, fa, y, num_epochs, seed,
+            scratch, log_fh)
+    print(f"  torch: avg={ref_scores['average_CV_AUPRC']:.4f} "
+          f"folds={np.round(ref_scores['final_test_AUPRC_scores'], 3)} "
+          f"({ref_wall:.0f}s, {len(trial_params)} trials drawn)")
+
+    jax_scores, jax_wall = run_jax(cell, task, model_name, X_tab, codes, y,
+                                   num_epochs, trial_params, scratch)
+    delta = jax_scores["average_CV_AUPRC"] - ref_scores["average_CV_AUPRC"]
+    print(f"  jax:   avg={jax_scores['average_CV_AUPRC']:.4f} "
+          f"folds={np.round(jax_scores['final_test_AUPRC_scores'], 3)} "
+          f"({jax_wall:.0f}s)  delta={delta:+.4f}")
+
+    res["combos"][key] = {
+        "model": model_name, "cell": cell, "task": task, "n_rows": n,
+        "n_features": int(X_tab.shape[1]),
+        "prevalence": float((np.asarray(y) == 1).mean()),
+        "num_epochs": num_epochs,
+        "ref": ref_scores, "jax": jax_scores,
+        "delta": round(delta, 5),
+        "within_band": bool(abs(delta) <= 0.05),
+        "ref_wall_s": round(ref_wall, 1), "jax_wall_s": round(jax_wall, 1),
+    }
+    save_results(res)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", default="ffnn", choices=list(SUITES))
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--jax-platform", default="default",
+                    choices=["default", "cpu"])
+    args = ap.parse_args()
+
+    if args.jax_platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    # amortize remote TPU compiles across combos
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+    except Exception:
+        pass
+
+    res = load_results()
+    if args.smoke:
+        run_combo("FFNN", "H1", "T3", 4, res, n_override=400)
+        return
+    for model_name, cell, tcode in SUITES[args.suite]:
+        run_combo(model_name, cell, tcode, args.epochs, res)
+    save_results(res)
+    print(json.dumps(res["meta"], indent=1))
+
+
+if __name__ == "__main__":
+    main()
