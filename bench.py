@@ -40,36 +40,59 @@ def make_data(n, d, rng):
     return {"ffnn": x, "cnn": codes, "y": y}
 
 
-def bench_ours(data_train, data_test, n_trials, epochs, in_features):
+def bench_ours(data_train, data_test, n_trials, epochs, in_features,
+               width_buckets=True, force_depth=None, label="ours"):
+    """Vmapped HPO population throughput.
+
+    ``width_buckets=True`` is the production path: the population is split
+    into cost groups (training/bucketing.py) and each group's supernet is
+    statically sliced to the group's per-layer width maxima — exact math,
+    fraction of the FLOPs.  ``force_depth=4`` reproduces round 1's
+    worst-case workload (every trial pays the full-depth supernet).
+    """
     from embracenet_tpu.config import TrainConfig
     from embracenet_tpu.hpo import space
     from embracenet_tpu.training import engine
+    from embracenet_tpu.training.bucketing import plan_buckets
     from embracenet_tpu.training.modelspec import get_spec
 
     spec = get_spec("EmbraceNetMultimodal", in_features_ffnn=in_features)
     flats = [space.sample_params("EmbraceNetMultimodal",
                                  np.random.default_rng(i))
              for i in range(n_trials)]
-    for f in flats:
-        f["CNN_n_layers"] = 4  # worst-case depth: full supernet cost
+    if force_depth is not None:
+        for f in flats:
+            f["CNN_n_layers"] = force_depth
     hps = [space.params_to_hp("EmbraceNetMultimodal", f) for f in flats]
     opts = [space.optimizer_hp(f) for f in flats]
     cfg = TrainConfig(num_epochs=epochs, epoch_chunk=max(epochs // 2, 1),
                       batch_size=100, compute_dtype="bfloat16",
-                      patience=10_000)
+                      patience=10_000, width_buckets=width_buckets)
+    groups = plan_buckets(spec, "EmbraceNetMultimodal", hps,
+                          in_features=in_features) \
+        if width_buckets else [list(range(n_trials))]
+
+    def run_all():
+        last = None
+        for idxs in groups:
+            last = engine.fit(spec, [hps[i] for i in idxs],
+                              [opts[i] for i in idxs],
+                              data_train, data_test, cfg)
+        return last
 
     t0 = time.time()
-    engine.fit(spec, hps, opts, data_train, data_test, cfg)
+    run_all()
     compile_and_run = time.time() - t0
     t0 = time.time()
-    res = engine.fit(spec, hps, opts, data_train, data_test, cfg)
+    res = run_all()
     steady = time.time() - t0
     ep = len(res.auprc_test[0])
     n_train = len(data_train["y"])
     wps = n_trials * n_train * ep / steady
-    print(f"[ours] compile+first {compile_and_run:.1f}s; steady {steady:.2f}s "
-          f"for {n_trials} trials x {ep} epochs x {n_train} windows "
-          f"-> {wps:.0f} windows/s/chip", file=sys.stderr)
+    print(f"[{label}] compile+first {compile_and_run:.1f}s; steady "
+          f"{steady:.2f}s for {n_trials} trials x {ep} epochs x {n_train} "
+          f"windows in {len(groups)} group(s) -> {wps:.0f} windows/s/chip",
+          file=sys.stderr)
     return wps
 
 
@@ -150,6 +173,9 @@ def main():
     ap.add_argument("--trials", type=int, default=8)
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--n", type=int, default=4000)
+    ap.add_argument("--compare", action="store_true",
+                    help="also run the unbucketed monolithic supernet and "
+                         "round 1's forced-depth-4 workload (stderr detail)")
     args = ap.parse_args()
     if args.quick:
         args.trials, args.epochs, args.n = 2, 4, 1000
@@ -160,7 +186,14 @@ def main():
     train = {k: v[:args.n] for k, v in data.items()}
     test = {k: v[args.n:] for k, v in data.items()}
 
-    ours = bench_ours(train, test, args.trials, args.epochs, d)
+    ours = bench_ours(train, test, args.trials, args.epochs, d,
+                      width_buckets=True, label="ours/bucketed")
+    if args.compare:
+        bench_ours(train, test, args.trials, args.epochs, d,
+                   width_buckets=False, label="ours/monolithic")
+        bench_ours(train, test, args.trials, args.epochs, d,
+                   width_buckets=False, force_depth=4,
+                   label="ours/r1-worst-case")
     torch_epochs = 1 if not args.quick else 1
     baseline = bench_torch_reference(
         {k: v[:min(args.n, 1000)] for k, v in train.items()},

@@ -100,6 +100,12 @@ class TrainConfig:
     pad_ffnn_features: int | None = None  # pad tabular features to a fixed
     #                                 width -> one compiled program across
     #                                 cell lines (zero columns are inert)
+    width_buckets: bool = False     # slice supernet weights to the
+    #                                 population's per-layer width maxima
+    #                                 (exact; big FLOP cut when trials are
+    #                                 narrow) at the cost of one compiled
+    #                                 program per distinct width signature —
+    #                                 see modelspec statics / models/cnn.py
     eval_reshuffle: bool = False    # strict parity: reference's test loader
     #                                 reshuffles EVERY epoch (DataLoader
     #                                 shuffle=True, training_models.py:477);

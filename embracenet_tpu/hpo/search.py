@@ -96,28 +96,43 @@ def run_search(spec: ModelSpec,
             return do
 
         if spec.vmappable:
-            result = engine.fit(spec, hp_list, opt_list, data_train, data_val,
-                                train_cfg, key=jax.random.PRNGKey(seed),
-                                verbose=verbose, report_fn=report_fn,
-                                **(fit_kwargs or {}))
-            per_trial = [(jax.tree.map(lambda a, i=t: np.asarray(a)[i],
-                                       (result.params, result.bn_state)),
-                          result.auprc_test[t]) for t in range(remaining)]
+            # width-bucketed sub-populations: split the population into cost
+            # groups so narrow/shallow trials stop paying the widest trial's
+            # supernet FLOPs (plan_buckets only splits when the projected
+            # saving clears its threshold)
+            groups = [list(range(remaining))]
+            if train_cfg.width_buckets and remaining > 1:
+                from embracenet_tpu.training.bucketing import plan_buckets
+
+                groups = plan_buckets(spec, model, hp_list)
         else:
-            # trial shapes differ (e.g. CNN_LSTM): run sequentially
-            per_trial = []
-            for t in range(remaining):
-                r = engine.fit(spec, [hp_list[t]], [opt_list[t]], data_train,
-                               data_val, train_cfg,
-                               key=jax.random.PRNGKey(seed + t),
-                               verbose=verbose,
-                               report_fn=(lambda _t, e, v, t=t:
-                                          report_fn(t, e, v))
-                               if report_fn else None,
-                               **(fit_kwargs or {}))
-                per_trial.append((jax.tree.map(lambda a: np.asarray(a)[0],
-                                               (r.params, r.bn_state)),
-                                  r.auprc_test[0]))
+            # trial shapes differ per architecture (e.g. CNN_LSTM): trials
+            # sharing one statics signature still vmap together; only
+            # distinct architectures run sequentially across groups
+            sig_to_idxs: dict = {}
+            for i, hp in enumerate(hp_list):
+                sig = tuple(sorted(spec.statics([hp]).items())) \
+                    if spec.statics else i
+                sig_to_idxs.setdefault(sig, []).append(i)
+            groups = list(sig_to_idxs.values())
+
+        per_trial = [None] * remaining
+        for gi, idxs in enumerate(groups):
+            result = engine.fit(
+                spec, [hp_list[i] for i in idxs],
+                [opt_list[i] for i in idxs], data_train, data_val,
+                train_cfg,
+                key=jax.random.PRNGKey(seed if gi == 0
+                                       else seed + 7919 * gi),
+                verbose=verbose,
+                report_fn=(lambda lt, e, v, idxs=idxs:
+                           report_fn(idxs[lt], e, v)),
+                **(fit_kwargs or {}))
+            for lt, i in enumerate(idxs):
+                per_trial[i] = (
+                    jax.tree.map(lambda a, lt=lt: np.asarray(a)[lt],
+                                 (result.params, result.bn_state)),
+                    result.auprc_test[lt])
 
         for t in range(remaining):
             value = per_trial[t][1][-1] if per_trial[t][1] else 0.0

@@ -81,11 +81,19 @@ def init(key, hp, n_classes: int = 2, head: bool = True):
     return params, bn_state
 
 
+def flat_bucket(max_depth: int, max_channels: tuple | None) -> int:
+    """Flatten width of a (depth, channel) bucket — FLAT_MAX unsliced."""
+    mc = max_channels or CNN_MAX_CHANNELS
+    return max(mc[i] * CNN_LENGTHS[i] for i in range(max_depth))
+
+
 def features(params, bn_state, hp, x, *, train: bool = False, key=None,
-             row_mask=None, compute_dtype=None, max_depth: int | None = None):
+             row_mask=None, compute_dtype=None, max_depth: int | None = None,
+             max_channels: tuple | None = None):
     """Headless forward (reference ``CNN_pre``).
 
-    Returns ``(flat [B, FLAT_MAX], flat_mask [FLAT_MAX], new_bn_state)``.
+    Returns ``(flat [B, FB], flat_mask [FB], new_bn_state)`` where
+    ``FB = flat_bucket(max_depth, max_channels)`` (= FLAT_MAX unsliced).
     ``sum(flat_mask)`` equals the reference's ``CNN_pre.output_size``.
 
     ``max_depth`` (static Python int) compiles only the first ``max_depth``
@@ -94,6 +102,15 @@ def features(params, bn_state, hp, x, *, train: bool = False, key=None,
     (block 3 alone is ~60% of the supernet's FLOPs).  Trials with
     ``n_layers > max_depth`` would be silently wrong; callers must pass the
     population max (the train engine does).
+
+    ``max_channels`` (static per-layer ints <= CNN_MAX_CHANNELS) is the
+    *width bucket*: weights/bias/BN are statically sliced to the
+    population's per-layer channel maxima before the convs, so compute costs
+    the bucket's FLOPs instead of the global supernet's.  Exact: channels
+    beyond a trial's mask are zero, and the channel-major flatten makes
+    valid features a prefix regardless of the allocated width.  Params keep
+    full supernet shapes (checkpoints/optimizer state are layout-stable);
+    BN state is written back into the full-shape buffers.
     """
     n_layers = hp["n_layers"]
     channels = hp["channels"]
@@ -101,6 +118,8 @@ def features(params, bn_state, hp, x, *, train: bool = False, key=None,
     rates = hp["dropout"]
     if max_depth is None:
         max_depth = CNN_MAX_LAYERS
+    mc = tuple(max_channels) if max_channels else CNN_MAX_CHANNELS
+    flat_bk = flat_bucket(max_depth, mc)
     if key is None:
         key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, CNN_MAX_LAYERS)
@@ -109,20 +128,26 @@ def features(params, bn_state, hp, x, *, train: bool = False, key=None,
     h = x  # [B, 4, 256]
     flats = []
     for i in range(max_depth):
+        c_in = CNN_IN_CHANNELS if i == 0 else mc[i - 1]
+        c_out = mc[i]
         tap = kernel_tap_mask(CNN_MAX_KERNEL, kernels[i])
-        w = params[f"conv_w{i}"] * tap[None, None, :]
-        z = conv1d_ncw(h, w, compute_dtype) + params[f"conv_b{i}"][None, :, None]
-        z, bn_s = batchnorm_apply(z, params[f"bn{i}"], bn_state[f"bn{i}"],
-                                  train, row_mask)
-        new_bn_state[f"bn{i}"] = bn_s
+        w = params[f"conv_w{i}"][:c_out, :c_in, :] * tap[None, None, :]
+        z = conv1d_ncw(h, w, compute_dtype) \
+            + params[f"conv_b{i}"][:c_out][None, :, None]
+        bn_p = {k: v[:c_out] for k, v in params[f"bn{i}"].items()}
+        bn_s = {k: v[:c_out] for k, v in bn_state[f"bn{i}"].items()}
+        z, bn_new = batchnorm_apply(z, bn_p, bn_s, train, row_mask)
+        new_bn_state[f"bn{i}"] = {
+            k: bn_state[f"bn{i}"][k].at[:c_out].set(bn_new[k])
+            for k in bn_new}
         z = jax.nn.relu(z)
         z = maxpool1d(z)
         z = _dropout(z, rates[i], keys[i], train)
-        cmask = width_mask(CNN_MAX_CHANNELS[i], channels[i])
+        cmask = width_mask(c_out, channels[i])
         z = z * cmask[None, :, None]
         h = z
         flat = z.reshape(z.shape[0], -1)
-        flats.append(jnp.pad(flat, ((0, 0), (0, FLAT_MAX - flat.shape[1]))))
+        flats.append(jnp.pad(flat, ((0, 0), (0, flat_bk - flat.shape[1]))))
 
     # depth selection among the flatten candidates
     out = flats[0]
@@ -133,12 +158,13 @@ def features(params, bn_state, hp, x, *, train: bool = False, key=None,
     lengths = jnp.asarray(CNN_LENGTHS)
     depth_idx = jnp.clip(n_layers - 1, 0, max_depth - 1)
     flat_valid = jnp.asarray(channels)[depth_idx] * lengths[depth_idx]
-    flat_mask = width_mask(FLAT_MAX, flat_valid)
+    flat_mask = width_mask(flat_bk, flat_valid)
     return out * flat_mask, flat_mask, new_bn_state
 
 
 def apply(params, bn_state, hp, x, *, train: bool = False, key=None,
-          row_mask=None, compute_dtype=None, max_depth: int | None = None):
+          row_mask=None, compute_dtype=None, max_depth: int | None = None,
+          max_channels: tuple | None = None):
     """Headful forward -> (logits [B, n_classes], new_bn_state).
 
     The FC head is linear->linear->linear with no activations
@@ -147,7 +173,9 @@ def apply(params, bn_state, hp, x, *, train: bool = False, key=None,
     flat, _, new_bn_state = features(params, bn_state, hp, x, train=train,
                                      key=key, row_mask=row_mask,
                                      compute_dtype=compute_dtype,
-                                     max_depth=max_depth)
-    h = linear(flat, params["w_fc1"], params["b_fc1"], compute_dtype)
+                                     max_depth=max_depth,
+                                     max_channels=max_channels)
+    h = linear(flat, params["w_fc1"][:flat.shape[1], :], params["b_fc1"],
+               compute_dtype)
     h = linear(h, params["w_fc2"], params["b_fc2"], compute_dtype)
     return linear(h, params["w_head"], params["b_head"], compute_dtype), new_bn_state

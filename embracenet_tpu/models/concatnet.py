@@ -58,33 +58,50 @@ def init(key, hp, in_features_ffnn: int, n_classes: int = 2):
 
 def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,
           key=None, row_mask=None, compute_dtype=None,
-          cnn_max_depth: int | None = None):
-    """Forward -> (logits [B, 2], new_bn_state)."""
+          cnn_max_depth: int | None = None,
+          cnn_max_channels: tuple | None = None,
+          ffnn_max_width: int | None = None,
+          post_max: int | None = None):
+    """Forward -> (logits [B, 2], new_bn_state).
+
+    ``*_max`` statics are width buckets (population maxima); weights are
+    statically sliced to bucket dims — exact, see models/cnn.py docstring.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     k_ffnn, k_cnn, k_post = jax.random.split(key, 3)
+    PB = post_max or P
 
     f_ffnn, _ = ffnn_mod.features(params["ffnn"], hp["ffnn"], x_ffnn,
                                   train=train, key=k_ffnn,
-                                  compute_dtype=compute_dtype)
+                                  compute_dtype=compute_dtype,
+                                  max_width=ffnn_max_width)
     f_cnn, _, new_bn_state = cnn_mod.features(
         params["cnn"], bn_state, hp["cnn"], x_cnn, train=train, key=k_cnn,
         row_mask=row_mask, compute_dtype=compute_dtype,
-        max_depth=cnn_max_depth)
+        max_depth=cnn_max_depth, max_channels=cnn_max_channels)
 
-    h = jnp.concatenate([f_ffnn, f_cnn], axis=-1)  # [B, CONCAT_DIM]
+    h = jnp.concatenate([f_ffnn, f_cnn], axis=-1)  # [B, FW + FB]
     n_post = hp["n_post"]
     pw = hp["post_widths"]
     pr = hp["post_dropout"]
     pk = jax.random.split(k_post, CONCAT_MAX_POST_LAYERS)
+    # post_w0 rows follow the [FFNN_MAX_WIDTH | FLAT_MAX] concat layout;
+    # pick the bucketed rows of each block to match h = [FW | FB]
+    w0 = jnp.concatenate(
+        [params["post_w0"][:f_ffnn.shape[1]],
+         params["post_w0"][FFNN_MAX_WIDTH:FFNN_MAX_WIDTH + f_cnn.shape[1]]],
+        axis=0)[:, :PB]
     out = None
     for i in range(CONCAT_MAX_POST_LAYERS):
         inp = h if i == 0 else out
-        mask = width_mask(P, pw[i])
-        z = jax.nn.relu(linear(inp, params[f"post_w{i}"], params[f"post_b{i}"],
+        w = w0 if i == 0 else params[f"post_w{i}"][:PB, :PB]
+        mask = width_mask(PB, pw[i])
+        z = jax.nn.relu(linear(inp, w, params[f"post_b{i}"][:PB],
                                compute_dtype)) * mask
         z = _dropout(z, pr[i], pk[i], train) * mask
         out = z if i == 0 else jnp.where(i < n_post, z, out)
 
-    logits = linear(out, params["head_w"], params["head_b"], compute_dtype)
+    logits = linear(out, params["head_w"][:PB, :], params["head_b"],
+                    compute_dtype)
     return logits, new_bn_state

@@ -66,7 +66,10 @@ def embrace(dockings, key, availabilities=None, selection_probabilities=None,
     p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
 
     if m == 2:
-        u = jax.random.uniform(key, (b, dockings[0].shape[1]))
+        # draw at the full embracement width and slice: a width-bucketed
+        # docking (E_bucket < E) then selects bitwise-identically to the
+        # unbucketed program under the same key
+        u = jax.random.uniform(key, (b, E))[:, :dockings[0].shape[1]]
         out = jnp.where(u < p[:, 0:1], dockings[0], dockings[1])
     else:
         logits = jnp.log(jnp.maximum(p, 1e-30))
@@ -120,25 +123,39 @@ def init(key, hp, in_features_ffnn: int, n_classes: int = 2):
 def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,
           key=None, row_mask=None, availabilities=None,
           modality_dropout: bool = True, compute_dtype=None,
-          cnn_max_depth: int | None = None):
-    """Forward -> (logits [B, 2], new_bn_state)."""
+          cnn_max_depth: int | None = None,
+          cnn_max_channels: tuple | None = None,
+          ffnn_max_width: int | None = None,
+          embrace_max: int | None = None,
+          post_max: int | None = None):
+    """Forward -> (logits [B, 2], new_bn_state).
+
+    The ``*_max`` statics are width buckets (population maxima): weights are
+    statically sliced so compute costs the bucket dims, exactly equivalent
+    to the full supernet (masked features are zero and prefix-aligned).
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     k_ffnn, k_cnn, k_coin, k_target, k_embrace, k_post = jax.random.split(key, 6)
+    EB = embrace_max or E
+    PB = post_max or P
 
     f_ffnn, _ = ffnn_mod.features(params["ffnn"], hp["ffnn"], x_ffnn,
                                   train=train, key=k_ffnn,
-                                  compute_dtype=compute_dtype)
+                                  compute_dtype=compute_dtype,
+                                  max_width=ffnn_max_width)
     f_cnn, _, new_bn_state = cnn_mod.features(
         params["cnn"], bn_state, hp["cnn"], x_cnn, train=train, key=k_cnn,
         row_mask=row_mask, compute_dtype=compute_dtype,
-        max_depth=cnn_max_depth)
+        max_depth=cnn_max_depth, max_channels=cnn_max_channels)
 
-    e_mask = width_mask(E, hp["embrace_size"])
-    d0 = jax.nn.relu(linear(f_ffnn, params["dock0_w"], params["dock0_b"],
-                            compute_dtype)) * e_mask
-    d1 = jax.nn.relu(linear(f_cnn, params["dock1_w"], params["dock1_b"],
-                            compute_dtype)) * e_mask
+    e_mask = width_mask(EB, hp["embrace_size"])
+    d0 = jax.nn.relu(linear(
+        f_ffnn, params["dock0_w"][:f_ffnn.shape[1], :EB],
+        params["dock0_b"][:EB], compute_dtype)) * e_mask
+    d1 = jax.nn.relu(linear(
+        f_cnn, params["dock1_w"][:f_cnn.shape[1], :EB],
+        params["dock1_b"][:EB], compute_dtype)) * e_mask
 
     b = d0.shape[0]
     # modality dropout (EmbraceNetMultimodal.py:178-182): batch-level coin,
@@ -159,16 +176,22 @@ def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,
     pw = hp["post_widths"]
     pr = hp["post_dropout"]
     pk = jax.random.split(k_post, EMBRACE_MAX_POST_LAYERS)
-    hp_post = jnp.zeros((b, P), jnp.float32)
+    hp_post = jnp.zeros((b, PB), jnp.float32)
     for i in range(EMBRACE_MAX_POST_LAYERS):
         inp = h if i == 0 else hp_post
-        mask = width_mask(P, pw[i])
-        z = jax.nn.relu(linear(inp, params[f"post_w{i}"], params[f"post_b{i}"],
+        w = params[f"post_w{i}"][:EB, :PB] if i == 0 \
+            else params[f"post_w{i}"][:PB, :PB]
+        mask = width_mask(PB, pw[i])
+        z = jax.nn.relu(linear(inp, w, params[f"post_b{i}"][:PB],
                                compute_dtype)) * mask
         z = _dropout(z, pr[i], pk[i], train) * mask
         hp_post = jnp.where(i < n_post, z, hp_post)
 
     head_in = jnp.concatenate(
         [h * (n_post == 0), hp_post * (n_post > 0)], axis=-1)
-    logits = linear(head_in, params["head_w"], params["head_b"], compute_dtype)
+    # head rows follow the [E | P] concat layout; pick the bucketed rows of
+    # each block so the slice matches head_in = [EB | PB]
+    head_w = jnp.concatenate(
+        [params["head_w"][:EB], params["head_w"][E:E + PB]], axis=0)
+    logits = linear(head_in, head_w, params["head_b"], compute_dtype)
     return logits, new_bn_state

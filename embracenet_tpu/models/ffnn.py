@@ -52,15 +52,21 @@ def init(key, hp, in_features: int, n_classes: int = 2, head: bool = True):
 
 
 def features(params, hp, x, *, train: bool = False, key=None,
-             compute_dtype=None):
-    """Headless forward -> ([B, H] masked features, [H] output mask).
+             compute_dtype=None, max_width: int | None = None):
+    """Headless forward -> ([B, W] masked features, [W] output mask).
 
     Reference parity: ``FFNN_pre`` (`models/FFNN_pre.py:47-49`); its
     ``output_size`` corresponds to ``sum(out_mask)``.
+
+    ``max_width`` (static, <= H) is the population's width bucket: weights
+    are statically sliced so the hidden space costs W instead of H.  Exact
+    because masked features beyond any trial's width are zero and live
+    features are a prefix.  Params keep the full [.., H] shapes.
     """
     n_layers = hp["n_layers"]
     widths = hp["widths"]
     rates = hp["dropout"]
+    W = max_width or H
     if key is None:
         key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, FFNN_MAX_LAYERS)
@@ -69,8 +75,9 @@ def features(params, hp, x, *, train: bool = False, key=None,
     out_mask = None
     for i in range(FFNN_MAX_LAYERS):
         inp = x if i == 0 else h
-        mask = width_mask(H, widths[i])
-        z = linear(inp, params[f"w{i}"], params[f"b{i}"], compute_dtype)
+        w = params[f"w{i}"][:, :W] if i == 0 else params[f"w{i}"][:W, :W]
+        mask = width_mask(W, widths[i])
+        z = linear(inp, w, params[f"b{i}"][:W], compute_dtype)
         z = jax.nn.relu(z) * mask
         z = _dropout(z, rates[i], keys[i], train) * mask
         if i == 0:
@@ -82,8 +89,10 @@ def features(params, hp, x, *, train: bool = False, key=None,
     return h, out_mask
 
 
-def apply(params, hp, x, *, train: bool = False, key=None, compute_dtype=None):
+def apply(params, hp, x, *, train: bool = False, key=None, compute_dtype=None,
+          max_width: int | None = None):
     """Headful forward -> logits [B, n_classes] (reference ``FFNN``)."""
     h, _ = features(params, hp, x, train=train, key=key,
-                    compute_dtype=compute_dtype)
-    return linear(h, params["w_head"], params["b_head"], compute_dtype)
+                    compute_dtype=compute_dtype, max_width=max_width)
+    return linear(h, params["w_head"][:h.shape[1], :], params["b_head"],
+                  compute_dtype)

@@ -332,10 +332,20 @@ def fit(spec: ModelSpec,
                       seed=123)
 
     statics = spec.statics(hp_list) if spec.statics else {}
+    _WIDTH_KEYS = ("cnn_max_channels", "ffnn_max_width", "embrace_max",
+                   "post_max")
+    if not cfg.width_buckets:
+        # full supernet widths -> one program shape across populations
+        for k in _WIDTH_KEYS:
+            statics.pop(k, None)
     if cfg.cnn_full_depth and "cnn_max_depth" in statics:
         from embracenet_tpu.config import CNN_MAX_LAYERS
 
         statics["cnn_max_depth"] = CNN_MAX_LAYERS
+        # full depth is a program-sharing request; width slicing would
+        # reintroduce per-population shapes, so drop it too
+        for k in _WIDTH_KEYS:
+            statics.pop(k, None)
     chunk_fn = _epoch_fns_cached(spec, cfg, compute_dtype, statics)
     plan_idx, plan_mask = map(jnp.asarray, _pad_plan(
         plan, batch_target=st.get("train_batches"),

@@ -35,10 +35,43 @@ class ModelSpec:
 
 
 def _cnn_statics(hp_list, key="cnn"):
-    """Depth bucket: compile only up to the population's deepest CNN."""
-    depths = [int(hp[key]["n_layers"] if key else hp["n_layers"])
-              for hp in hp_list]
-    return {"cnn_max_depth": max(depths)}
+    """Depth + width bucket for the CNN branch.
+
+    ``cnn_max_depth`` compiles only up to the population's deepest trial;
+    ``cnn_max_channels[i]`` is the max channel width any trial that *uses*
+    layer i selects (unused layers get the smallest menu entry so the key is
+    draw-stable).  The engine drops width keys unless
+    TrainConfig.width_buckets is on.
+    """
+    from embracenet_tpu.config import CNN_CHANNEL_MENUS, CNN_MAX_LAYERS
+
+    subs = [hp[key] if key else hp for hp in hp_list]
+    depth = max(int(s["n_layers"]) for s in subs)
+    mc = []
+    for i in range(CNN_MAX_LAYERS):
+        used = [int(s["channels"][i]) for s in subs
+                if int(s["n_layers"]) > i]
+        mc.append(max(used) if used else min(CNN_CHANNEL_MENUS[i]))
+    return {"cnn_max_depth": depth, "cnn_max_channels": tuple(mc)}
+
+
+def _ffnn_width(hp_list, key="ffnn"):
+    """Max live width over trials (layers beyond a trial's depth ignored)."""
+    w = 0
+    for hp in hp_list:
+        sub = hp[key] if key else hp
+        n = int(sub["n_layers"])
+        w = max(w, max(int(x) for x in np.asarray(sub["widths"])[:n]))
+    return w
+
+
+def _post_width(hp_list, key, min_width=16):
+    w = min_width
+    for hp in hp_list:
+        n = int(hp["n_post"])
+        if n > 0:
+            w = max(w, max(int(x) for x in np.asarray(hp[key])[:n]))
+    return w
 
 
 def _seq_input(inputs, compute_dtype):
@@ -62,10 +95,13 @@ def _build_spec(model: str, in_features_ffnn: int | None = None) -> ModelSpec:
         def apply(params, bn_state, hp, inputs, train, key, row_mask,
                   compute_dtype, statics=None):
             logits = ffnn.apply(params, hp, inputs["ffnn"], train=train,
-                                key=key, compute_dtype=compute_dtype)
+                                key=key, compute_dtype=compute_dtype,
+                                max_width=(statics or {}).get("ffnn_max_width"))
             return logits, bn_state
 
-        return ModelSpec(model, ("ffnn",), init, apply, lambda hps: {})
+        return ModelSpec(model, ("ffnn",), init, apply,
+                         lambda hps: {"ffnn_max_width":
+                                      _ffnn_width(hps, key=None)})
 
     if model == "CNN":
         def init(key, hp):
@@ -74,10 +110,11 @@ def _build_spec(model: str, in_features_ffnn: int | None = None) -> ModelSpec:
         def apply(params, bn_state, hp, inputs, train, key, row_mask,
                   compute_dtype, statics=None):
             x = _seq_input(inputs, compute_dtype)
-            md = (statics or {}).get("cnn_max_depth")
+            st = statics or {}
             return cnn.apply(params, bn_state, hp, x, train=train, key=key,
                              row_mask=row_mask, compute_dtype=compute_dtype,
-                             max_depth=md)
+                             max_depth=st.get("cnn_max_depth"),
+                             max_channels=st.get("cnn_max_channels"))
 
         return ModelSpec(model, ("cnn",), init, apply,
                          lambda hps: _cnn_statics(hps, key=None))
@@ -89,13 +126,24 @@ def _build_spec(model: str, in_features_ffnn: int | None = None) -> ModelSpec:
         def apply(params, bn_state, hp, inputs, train, key, row_mask,
                   compute_dtype, statics=None):
             x = _seq_input(inputs, compute_dtype)
-            md = (statics or {}).get("cnn_max_depth")
+            st = statics or {}
             return embracenet.apply(params, bn_state, hp, inputs["ffnn"], x,
                                     train=train, key=key, row_mask=row_mask,
                                     compute_dtype=compute_dtype,
-                                    cnn_max_depth=md)
+                                    cnn_max_depth=st.get("cnn_max_depth"),
+                                    cnn_max_channels=st.get("cnn_max_channels"),
+                                    ffnn_max_width=st.get("ffnn_max_width"),
+                                    embrace_max=st.get("embrace_max"),
+                                    post_max=st.get("post_max"))
 
-        return ModelSpec(model, ("ffnn", "cnn"), init, apply, _cnn_statics)
+        def statics(hps):
+            out = _cnn_statics(hps)
+            out["ffnn_max_width"] = _ffnn_width(hps)
+            out["embrace_max"] = max(int(hp["embrace_size"]) for hp in hps)
+            out["post_max"] = _post_width(hps, "post_widths")
+            return out
+
+        return ModelSpec(model, ("ffnn", "cnn"), init, apply, statics)
 
     if model == "ConcatNetMultimodal":
         def init(key, hp):
@@ -104,13 +152,22 @@ def _build_spec(model: str, in_features_ffnn: int | None = None) -> ModelSpec:
         def apply(params, bn_state, hp, inputs, train, key, row_mask,
                   compute_dtype, statics=None):
             x = _seq_input(inputs, compute_dtype)
-            md = (statics or {}).get("cnn_max_depth")
+            st = statics or {}
             return concatnet.apply(params, bn_state, hp, inputs["ffnn"], x,
                                    train=train, key=key, row_mask=row_mask,
                                    compute_dtype=compute_dtype,
-                                   cnn_max_depth=md)
+                                   cnn_max_depth=st.get("cnn_max_depth"),
+                                   cnn_max_channels=st.get("cnn_max_channels"),
+                                   ffnn_max_width=st.get("ffnn_max_width"),
+                                   post_max=st.get("post_max"))
 
-        return ModelSpec(model, ("ffnn", "cnn"), init, apply, _cnn_statics)
+        def statics(hps):
+            out = _cnn_statics(hps)
+            out["ffnn_max_width"] = _ffnn_width(hps)
+            out["post_max"] = _post_width(hps, "post_widths")
+            return out
+
+        return ModelSpec(model, ("ffnn", "cnn"), init, apply, statics)
 
     if model == "CNN_LSTM":
         def _arch(hp):

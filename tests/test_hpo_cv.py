@@ -445,3 +445,34 @@ def test_missing_best_checkpoint_warns(tmp_path, rng, monkeypatch):
            cv_cfg=CVConfig(n_folds=2, n_trials=1, sampler="random"),
            train_cfg=TrainConfig(num_epochs=2, epoch_chunk=2, batch_size=60),
            storage=str(tmp_path / "cv.db"), checkpoint_dir=str(tmp_path))
+
+
+def test_cnn_lstm_grouped_population(tmp_path, rng):
+    """CNN_LSTM trials sharing an architecture vmap together; distinct
+    architectures run as separate groups (VERDICT r1 item 5)."""
+    from embracenet_tpu.hpo.samplers import ReplaySampler
+
+    arch_a = {"n_layers": 1, "out_channels_l0": 16, "kernel_size_l0": 5,
+              "dropout_l0": 0.0, "LSTM_hidden_layer_size": 32,
+              "LSTM_n_layers": 1, "optimizer": "Adam", "lr": 1e-3,
+              "weight_decay": 1e-4}
+    arch_b = dict(arch_a, out_channels_l0=32, lr=3e-3)
+    # two trials share arch A (one group), one is arch B (second group)
+    replay = ReplaySampler([arch_a, dict(arch_a, lr=2e-3), arch_b])
+
+    data = rng.integers(0, 4, size=(120, 256)).astype(np.uint8)
+    y = (rng.random(120) < 0.3).astype(np.int64)
+    train = {"cnn": data[:90], "y": y[:90]}
+    val = {"cnn": data[90:], "y": y[90:]}
+    spec = get_spec("CNN_LSTM")
+    res = run_search(spec, "CNN_LSTM", train, val, "lstm_grp",
+                     storage=str(tmp_path / "s.db"), sampler=replay,
+                     n_trials=3,
+                     train_cfg=TrainConfig(num_epochs=2, epoch_chunk=2,
+                                           batch_size=45),
+                     checkpoint_dir=str(tmp_path), seed=0)
+    assert res.n_complete == 3
+    assert np.isfinite(res.best_value)
+    # all three trial checkpoints exist (group order must not lose trials)
+    for n in range(3):
+        assert os.path.exists(str(tmp_path / f"lstm_grp{n}.npz"))
