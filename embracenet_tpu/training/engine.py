@@ -374,26 +374,46 @@ def fit(spec: ModelSpec,
           jnp.asarray(np.zeros(n_trials, bool)),                # stopped
           jnp.asarray(np.zeros(n_trials, np.int32)))            # epochs run
 
+    multiproc = mesh is not None and jax.process_count() > 1
     if mesh is not None:
-        # population over 'trial', batch-plan width over 'data', data arrays
-        # replicated; XLA turns the batch-axis reductions (loss weights, BN
-        # stats, metric counts) into ICI all-reduces automatically.
-        from embracenet_tpu.parallel.mesh import (
-            batch_sharding, replicated, trial_sharding)
+        # population over 'trial' (and 'dcn' across hosts — trials never
+        # communicate, so nothing rides the DCN), batch-plan width over
+        # 'data', data arrays replicated; XLA turns the batch-axis
+        # reductions (loss weights, BN stats, metric counts) into ICI
+        # all-reduces automatically.
+        from jax.sharding import PartitionSpec as P
 
-        n_trial_devs = mesh.shape["trial"]
+        from embracenet_tpu.parallel.mesh import (
+            global_from_host_local, trial_axes, trial_device_count)
+
+        n_trial_devs = trial_device_count(mesh)
         if n_trials % n_trial_devs != 0:
             raise ValueError(
                 f"population size {n_trials} not divisible by mesh trial "
-                f"axis {n_trial_devs}")
-        ts, bs, rep = trial_sharding(mesh), batch_sharding(mesh), replicated(mesh)
+                f"axes {n_trial_devs}")
+        taxes = trial_axes(mesh)
+        ts_spec = P(taxes if len(taxes) > 1 else taxes[0])
+        if multiproc:
+            # every process holds the full population; its host-local piece
+            # of a trial-sharded tree is its dcn block of rows
+            n_dcn = dict(mesh.shape)["dcn"]
+            rows = n_trials // n_dcn
+            pidx = jax.process_index()
+
+            def _slc(tree):
+                return jax.tree.map(
+                    lambda a: np.asarray(a)[pidx * rows:(pidx + 1) * rows],
+                    tree)
+        else:
+            def _slc(tree):
+                return tree
         params, bn_state, opt_state, hp, opt_hp, trial_keys, es = (
-            jax.device_put(t, ts) for t in
+            global_from_host_local(_slc(t), mesh, ts_spec) for t in
             (params, bn_state, opt_state, hp, opt_hp, trial_keys, es))
-        train_data = jax.device_put(train_data, rep)
-        test_data = jax.device_put(test_data, rep)
+        train_data = global_from_host_local(train_data, mesh, P())
+        test_data = global_from_host_local(test_data, mesh, P())
         plan_idx, plan_mask, tplan_idx, tplan_mask = (
-            jax.device_put(t, bs) for t in
+            global_from_host_local(t, mesh, P(None, "data")) for t in
             (plan_idx, plan_mask, tplan_idx, tplan_mask))
     pruned = [False] * n_trials
     hist_train = [[] for _ in range(n_trials)]
@@ -408,16 +428,27 @@ def fit(spec: ModelSpec,
         if cfg.eval_reshuffle:
             tplan_idx, tplan_mask = _eval_plans_for(epochs_done, n_ep)
             if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+                from jax.sharding import PartitionSpec as P
 
-                s3 = NamedSharding(mesh, P(None, None, "data"))
-                tplan_idx = jax.device_put(tplan_idx, s3)
-                tplan_mask = jax.device_put(tplan_mask, s3)
+                from embracenet_tpu.parallel.mesh import global_from_host_local
+
+                tplan_idx = global_from_host_local(
+                    tplan_idx, mesh, P(None, None, "data"))
+                tplan_mask = global_from_host_local(
+                    tplan_mask, mesh, P(None, None, "data"))
         (params, bn_state, opt_state, trial_keys, es), outs = chunk_fn(
             params, bn_state, opt_state, trial_keys, es, hp, opt_hp,
             train_data, plan_idx, plan_mask,
             test_data, tplan_idx, tplan_mask, divisor, n_ep)
-        # outs: per-trial [n_ep] sequences (vmap axis leads)
+        # outs: per-trial [n_ep] sequences (vmap axis leads).  On a
+        # process-spanning mesh the trial axis is not fully addressable;
+        # gather it so every host sees every trial's metrics.
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            outs = jax.tree.map(
+                lambda a: multihost_utils.process_allgather(a, tiled=True),
+                outs)
         _, tr_sum, te_sum, f1_sum, stopped_seq = map(np.asarray, outs)
         auprc_tr = tr_sum / plan.metric_divisor       # [T, n_ep]
         auprc_te = te_sum / divisor

@@ -83,3 +83,38 @@ def test_mesh_fit_matches_unsharded(rng):
                                    r_plain.auprc_test[t], atol=1e-4)
         np.testing.assert_allclose(r_mesh.auprc_train[t],
                                    r_plain.auprc_train[t], atol=1e-4)
+
+
+def test_make_mesh_dcn_axes():
+    import jax
+
+    from embracenet_tpu.parallel.mesh import (
+        make_mesh, trial_device_count, trial_sharding)
+
+    devs = jax.devices()[:8]
+    mesh = make_mesh(n_trial=2, n_data=2, n_dcn=2, devices=devs)
+    assert mesh.axis_names == ("dcn", "trial", "data")
+    assert dict(mesh.shape) == {"dcn": 2, "trial": 2, "data": 2}
+    assert trial_device_count(mesh) == 4
+    # population sharding spreads over dcn x trial
+    spec = trial_sharding(mesh).spec
+    assert spec == jax.sharding.PartitionSpec(("dcn", "trial"))
+
+
+def test_dcn_mesh_fit_matches_flat_mesh(rng):
+    """('dcn','trial','data') sharding (single process, 8 CPU devices) gives
+    the same per-trial results as the flat ('trial','data') mesh."""
+    import __graft_entry__ as ge
+
+    from embracenet_tpu.parallel.mesh import make_mesh
+
+    flat = ge._mh_fit(make_mesh(n_trial=4, n_data=2))
+    dcn = ge._mh_fit(make_mesh(n_trial=2, n_data=2, n_dcn=2))
+    assert dcn == flat
+
+
+def test_dryrun_multihost_two_processes():
+    """Full 2-process jax.distributed dry run (spawns subprocesses)."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multihost(n_processes=2, n_local_devices=4)
