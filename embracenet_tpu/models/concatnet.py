@@ -87,11 +87,17 @@ def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,
     pr = hp["post_dropout"]
     pk = jax.random.split(k_post, CONCAT_MAX_POST_LAYERS)
     # post_w0 rows follow the [FFNN_MAX_WIDTH | FLAT_MAX] concat layout;
-    # pick the bucketed rows of each block to match h = [FW | FB]
-    w0 = jnp.concatenate(
-        [params["post_w0"][:f_ffnn.shape[1]],
-         params["post_w0"][FFNN_MAX_WIDTH:FFNN_MAX_WIDTH + f_cnn.shape[1]]],
-        axis=0)[:, :PB]
+    # pick the bucketed rows of each block to match h = [FW | FB].  A
+    # pre-shrunk leaf (training/slicing.py) already has the bucket layout —
+    # detected statically by row count.
+    if params["post_w0"].shape[0] == h.shape[1]:
+        w0 = params["post_w0"][:, :PB]
+    else:
+        w0 = jnp.concatenate(
+            [params["post_w0"][:f_ffnn.shape[1]],
+             params["post_w0"][FFNN_MAX_WIDTH:
+                               FFNN_MAX_WIDTH + f_cnn.shape[1]]],
+            axis=0)[:, :PB]
     out = None
     for i in range(CONCAT_MAX_POST_LAYERS):
         inp = h if i == 0 else out

@@ -190,8 +190,13 @@ def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,
     head_in = jnp.concatenate(
         [h * (n_post == 0), hp_post * (n_post > 0)], axis=-1)
     # head rows follow the [E | P] concat layout; pick the bucketed rows of
-    # each block so the slice matches head_in = [EB | PB]
-    head_w = jnp.concatenate(
-        [params["head_w"][:EB], params["head_w"][E:E + PB]], axis=0)
+    # each block so the slice matches head_in = [EB | PB].  A pre-shrunk
+    # leaf (training/slicing.py) already has the bucket layout — detected
+    # statically by row count.
+    if params["head_w"].shape[0] == EB + PB:
+        head_w = params["head_w"]
+    else:
+        head_w = jnp.concatenate(
+            [params["head_w"][:EB], params["head_w"][E:E + PB]], axis=0)
     logits = linear(head_in, head_w, params["head_b"], compute_dtype)
     return logits, new_bn_state

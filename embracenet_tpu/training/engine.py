@@ -315,7 +315,6 @@ def fit(spec: ModelSpec,
         bn_state = stack_trials([i[1] for i in inits])
     else:
         params, bn_state = init_params, init_bn_state
-    opt_state = jax.vmap(optim.init_state)(params)
 
     hp = stack_trials(hp_list)
     opt_hp = stack_trials([{k: np.asarray(v) for k, v in o.items()}
@@ -346,6 +345,18 @@ def fit(spec: ModelSpec,
         # reintroduce per-population shapes, so drop it too
         for k in _WIDTH_KEYS:
             statics.pop(k, None)
+
+    # Shrink params (and therefore grads + optimizer state) to the bucket
+    # shapes: the apply fns' static a[:c] slices are no-ops on shrunk leaves,
+    # and Adam stops paying full-supernet HBM traffic per batch.  Grown back
+    # to the stable full layout before returning.
+    from embracenet_tpu.training import slicing
+
+    shrunk = slicing.has_width_statics(statics)
+    if shrunk:
+        params, bn_state = slicing.shrink(spec.name, params, bn_state,
+                                          statics)
+    opt_state = jax.vmap(optim.init_state)(params)
     chunk_fn = _epoch_fns_cached(spec, cfg, compute_dtype, statics)
     plan_idx, plan_mask = map(jnp.asarray, _pad_plan(
         plan, batch_target=st.get("train_batches"),
@@ -476,6 +487,8 @@ def fit(spec: ModelSpec,
                   f"done={sum(done)}/{n_trials}")
         epochs_done += n_ep
 
+    if shrunk:
+        params, bn_state = slicing.grow(spec.name, params, bn_state, statics)
     return FitResult(
         params=params,
         bn_state=bn_state,

@@ -195,3 +195,65 @@ def test_run_search_width_buckets(tmp_path, rng):
     assert res.n_complete == 4
     assert np.isfinite(res.best_value)
     assert res.best_model is not None
+
+
+@pytest.mark.parametrize("model", ["FFNN", "CNN", "EmbraceNetMultimodal",
+                                   "ConcatNetMultimodal"])
+def test_shrink_grow_roundtrip(model, rng):
+    """grow(shrink(x)) restores full shapes and preserves every value inside
+    the bucket region; shrunk apply == full apply (logits)."""
+    from embracenet_tpu.training import slicing
+
+    spec = get_spec(model, in_features_ffnn=10)
+    hps = _hp_pop(model, rng)
+    statics = spec.statics(hps)
+    params, bn = spec.init(jax.random.PRNGKey(3), hps[0])
+    sp, sb = slicing.shrink(model, params, bn, statics)
+    gp, gb = slicing.grow(model, sp, sb, statics)
+    # full shapes restored
+    for full, grown in zip(jax.tree.leaves(params), jax.tree.leaves(gp)):
+        assert full.shape == grown.shape
+    # bucket region round-trips exactly
+    sp2, sb2 = slicing.shrink(model, gp, gb, statics)
+    for a, b in zip(jax.tree.leaves(sp), jax.tree.leaves(sp2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(sb), jax.tree.leaves(sb2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # shrunk params through the sliced apply == full params, full apply
+    inputs = _inputs(spec, rng)
+    mask = jnp.ones(12, np.float32)
+    key = jax.random.PRNGKey(11)
+    full_logits, _ = spec.apply(params, bn, hps[0], inputs, False, key, mask,
+                                None, {k: v for k, v in statics.items()
+                                       if k == "cnn_max_depth"})
+    shrunk_logits, _ = spec.apply(sp, sb, hps[0], inputs, False, key, mask,
+                                  None, statics)
+    np.testing.assert_allclose(np.asarray(shrunk_logits),
+                               np.asarray(full_logits), rtol=2e-4, atol=2e-5)
+
+
+def test_fit_multimodal_width_buckets_smoke(rng):
+    """EmbraceNet population trains with shrink/grow active; checkpoint
+    layout (full shapes) is preserved in the result."""
+    tab = rng.normal(size=(120, 12)).astype(np.float32)
+    seq = rng.integers(0, 4, size=(120, 256)).astype(np.uint8)
+    y = (rng.random(120) < 0.3).astype(np.int64)
+    data = {"ffnn": tab, "cnn": seq, "y": y}
+    train = {k: v[:90] for k, v in data.items()}
+    test = {k: v[90:] for k, v in data.items()}
+    spec = get_spec("EmbraceNetMultimodal", in_features_ffnn=12)
+    flats = [_no_dropout(space.sample_params("EmbraceNetMultimodal", rng))
+             for _ in range(2)]
+    for f in flats:
+        f["CNN_n_layers"] = 1
+    hps = [space.params_to_hp("EmbraceNetMultimodal", f) for f in flats]
+    opts = [space.optimizer_hp(f) for f in flats]
+    res = engine.fit(spec, hps, opts, train, test,
+                     TrainConfig(num_epochs=2, epoch_chunk=2, batch_size=45,
+                                 width_buckets=True))
+    assert all(np.isfinite(res.final_test_auprc))
+    ref_params, _ = spec.init(jax.random.PRNGKey(0), hps[0])
+    for full, got in zip(jax.tree.leaves(ref_params),
+                         jax.tree.leaves(jax.tree.map(
+                             lambda a: np.asarray(a)[0], res.params))):
+        assert full.shape == got.shape

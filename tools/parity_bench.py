@@ -337,12 +337,21 @@ def load_results():
 def save_results(res):
     done = [c for c in res["combos"].values() if "delta" in c]
     if done:
+        from scipy.stats import wilcoxon
+
+        deltas = [c["delta"] for c in done]
         within = sum(1 for c in done if abs(c["delta"]) <= 0.05)
         res["meta"]["n_done"] = len(done)
         res["meta"]["n_within_band"] = within
         res["meta"]["frac_within_band"] = round(within / len(done), 4)
-        res["meta"]["mean_abs_delta"] = round(
-            float(np.mean([abs(c["delta"]) for c in done])), 4)
+        res["meta"]["mean_abs_delta"] = round(float(np.mean(
+            [abs(d) for d in deltas])), 4)
+        # systematic-bias check: signed mean + Wilcoxon signed-rank of the
+        # per-combo deltas against 0 (p > 0.05 = no detectable bias)
+        res["meta"]["mean_delta"] = round(float(np.mean(deltas)), 4)
+        if len(deltas) >= 6 and any(deltas):
+            res["meta"]["bias_wilcoxon_p"] = round(
+                float(wilcoxon(deltas)[1]), 4)
     with open(RESULT_PATH, "w") as fh:
         json.dump(res, fh, indent=1)
 
