@@ -6,8 +6,9 @@ fact: both TPE and BoTorch default to ``n_startup_trials = 10`` *random*
 trials, and every reference study runs only **3 trials**
 (`training_models.py:502` via `Kfold_CV.hyper_tuning`) — so the reference's
 "TPE"/"BO" sampling never actually leaves random mode.  We implement a real
-TPE for populations beyond the startup budget and map ``"BO"`` to TPE (no
-GP/BoTorch dependency), which is behaviour-identical in the reference regime.
+TPE for populations beyond the startup budget, and ``"BO"`` is a genuine
+GP-EI Bayesian optimizer (GPEISampler, no botorch dependency) — both
+behaviour-identical to the reference in its 3-trial regime.
 """
 
 from __future__ import annotations
@@ -112,6 +113,119 @@ class TPESampler:
         return float(min(max(best, dist.low), dist.high))
 
 
+class GPEISampler:
+    """Gaussian-process expected-improvement sampler (the reference's
+    ``BoTorchSampler`` menu entry, `training_models.py:248-249`, without the
+    botorch dependency).
+
+    Like BoTorch's default, the first ``n_startup_trials`` draws are random;
+    after that a zero-mean GP with an RBF kernel (median-distance
+    lengthscale heuristic, standardized targets) is fit to the history and
+    EI is maximized over a pool of random candidates plus mutations of the
+    incumbents.  Pending trials (value None in history, e.g. the rest of a
+    batch from ``sample_n``) enter as "constant liar" observations at the
+    history mean, so a batch spreads instead of collapsing onto one point.
+    """
+
+    def __init__(self, seed: int = 0, n_startup_trials: int = 10,
+                 n_candidates: int = 512, noise: float = 1e-4):
+        self.rng = np.random.default_rng(seed)
+        self.n_startup_trials = n_startup_trials
+        self.n_candidates = n_candidates
+        self.noise = noise
+
+    # --- encoding: every param becomes [0,1] features --------------------
+    @staticmethod
+    def _feat(dist, v, rng=None):
+        if isinstance(dist, Categorical):
+            choices = list(dist.choices)
+            if all(isinstance(c, (int, float)) for c in choices):
+                if v is None:
+                    return [0.5]
+                return [choices.index(v) / max(len(choices) - 1, 1)]
+            oh = [0.0] * len(choices)
+            if v is not None:
+                oh[choices.index(v)] = 1.0
+            return oh
+        if isinstance(dist, IntUniform):
+            if v is None:
+                return [0.5]
+            return [(v - dist.low) / max(dist.high - dist.low, 1)]
+        if isinstance(dist, LogUniform):
+            if v is None:
+                return [0.5]
+            lo, hi = math.log(dist.low), math.log(dist.high)
+            return [(math.log(v) - lo) / (hi - lo)]
+        if isinstance(dist, FloatUniform):
+            if v is None:
+                return [0.5]
+            return [(v - dist.low) / max(dist.high - dist.low, 1e-12)]
+        return [0.0]
+
+    def _encode(self, space, params):
+        out = []
+        for name in sorted(space):
+            out.extend(self._feat(space[name], params.get(name)))
+        return out
+
+    def _mutate(self, space, params):
+        out = dict(params)
+        for name, dist in space.items():
+            if self.rng.random() < 0.25:
+                out[name] = dist.sample(self.rng)
+        return out
+
+    def sample(self, space: dict, history: list) -> dict:
+        observed = [(p, v) for p, v in history if v is not None]
+        if len(observed) < self.n_startup_trials:
+            return {n: d.sample(self.rng) for n, d in space.items()}
+        pending = [p for p, v in history if v is None]
+        y = np.asarray([v for _, v in observed], np.float64)
+        liar = float(y.mean())
+        pts = [p for p, _ in observed] + pending
+        y = np.concatenate([y, np.full(len(pending), liar)])
+        X = np.asarray([self._encode(space, p) for p in pts], np.float64)
+
+        y_mu, y_sd = float(y.mean()), float(y.std()) or 1.0
+        yn = (y - y_mu) / y_sd
+
+        d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+        med = np.median(d2[d2 > 0]) if (d2 > 0).any() else 1.0
+        ell2 = max(med, 1e-6)
+        K = np.exp(-0.5 * d2 / ell2) + self.noise * np.eye(len(X))
+        L = np.linalg.cholesky(K)
+        alpha = np.linalg.solve(L.T, np.linalg.solve(L, yn))
+
+        # candidate pool: random + mutations of the top incumbents
+        cands = [
+            {n: d.sample(self.rng) for n, d in space.items()}
+            for _ in range(self.n_candidates // 2)]
+        top = [p for p, _ in sorted(observed, key=lambda t: -t[1])[:4]]
+        while len(cands) < self.n_candidates:
+            cands.append(self._mutate(space, top[
+                int(self.rng.integers(len(top)))]))
+        Xc = np.asarray([self._encode(space, p) for p in cands], np.float64)
+
+        d2c = ((Xc[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+        Kc = np.exp(-0.5 * d2c / ell2)
+        mu = Kc @ alpha
+        v = np.linalg.solve(L, Kc.T)
+        var = np.maximum(1.0 - (v ** 2).sum(0), 1e-12)
+        sd = np.sqrt(var)
+
+        best = yn.max()
+        z = (mu - best) / sd
+        # EI = sd * (z * Phi(z) + phi(z))
+        phi = np.exp(-0.5 * z * z) / math.sqrt(2 * math.pi)
+        Phi = 0.5 * (1.0 + _erf_vec(z / math.sqrt(2.0)))
+        ei = sd * (z * Phi + phi)
+        return dict(cands[int(np.argmax(ei))])
+
+
+def _erf_vec(x):
+    return np.vectorize(math.erf)(x)
+
+
 class ReplaySampler:
     """Replays a fixed sequence of flat param dicts (stateful cursor).
 
@@ -137,11 +251,16 @@ class ReplaySampler:
 
 
 def get_sampler(name: str, seed: int = 0):
-    """'random' | 'TPE' | 'BO' (reference sampler menu)."""
+    """'random' | 'TPE' | 'BO' (reference sampler menu,
+    `training_models.py:248-253`).  All three are behaviour-identical in the
+    reference's 3-trial regime (both TPE and BoTorch spend 10 random startup
+    trials); beyond it 'BO' is a real GP-EI optimizer."""
     if name == "random":
         return RandomSampler(seed)
-    if name in ("TPE", "BO"):
+    if name == "TPE":
         return TPESampler(seed)
+    if name == "BO":
+        return GPEISampler(seed)
     raise ValueError(f"unknown sampler {name!r}: use 'random', 'TPE' or 'BO'")
 
 

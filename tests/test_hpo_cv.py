@@ -476,3 +476,59 @@ def test_cnn_lstm_grouped_population(tmp_path, rng):
     # all three trial checkpoints exist (group order must not lose trials)
     for n in range(3):
         assert os.path.exists(str(tmp_path / f"lstm_grp{n}.npz"))
+
+
+def test_gp_ei_beats_random_on_30_trial_benchmark():
+    """The 'BO' sampler (GP-EI) must significantly beat RandomSampler on a
+    30-trial synthetic HPO benchmark over the real FFNN space (VERDICT r1
+    item 7; the reference's BoTorch menu entry, training_models.py:248)."""
+    import numpy as np
+
+    from embracenet_tpu.hpo.samplers import get_sampler
+
+    sp = space.model_space("FFNN")
+
+    def objective(p, rng):
+        lr_term = -0.15 * (np.log10(p["lr"]) + 3.0) ** 2
+        depth_term = -0.10 * abs(p["n_layers"] - 2)
+        width_term = -0.05 * abs(np.log2(p["n_units_l0"]) - 7)
+        wd_term = -0.05 * (np.log10(p["weight_decay"]) + 3.0) ** 2
+        return (1.0 + lr_term + depth_term + width_term + wd_term
+                + 0.01 * rng.standard_normal())
+
+    def run(sampler_name, seed):
+        smp = get_sampler(sampler_name, seed=seed)
+        rng = np.random.default_rng(1000 + seed)
+        hist = []
+        for _ in range(30):
+            p = smp.sample(sp, hist)
+            hist.append((p, objective(p, rng)))
+        return max(v for _, v in hist)
+
+    seeds = range(6)
+    bo = [run("BO", s) for s in seeds]
+    rnd = [run("random", s) for s in seeds]
+    # GP-EI must win on average and do no worse on (almost) every seed
+    assert np.mean(bo) > np.mean(rnd) + 0.02, (bo, rnd)
+    assert sum(b >= r - 1e-9 for b, r in zip(bo, rnd)) >= 5, (bo, rnd)
+
+
+def test_gp_ei_respects_menus_and_liar():
+    """Batch draws via sample_n (pending values None) stay inside the menus
+    and do not collapse onto one candidate."""
+    from embracenet_tpu.hpo.samplers import get_sampler, sample_n
+
+    sp = space.model_space("FFNN")
+    rng = np.random.default_rng(0)
+    history = [(space.sample_params("FFNN", rng), float(i) / 12)
+               for i in range(12)]
+    smp = get_sampler("BO", seed=3)
+    batch = sample_n(smp, "FFNN", 4, history)
+    for params in batch:
+        for name, dist in sp.items():
+            assert name in params
+            if hasattr(dist, "choices"):
+                assert params[name] in dist.choices
+        assert 1e-5 <= params["lr"] <= 1e-1
+    assert len({tuple(sorted((k, str(v)) for k, v in p.items()))
+                for p in batch}) > 1
