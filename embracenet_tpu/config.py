@@ -100,6 +100,10 @@ class TrainConfig:
     pad_ffnn_features: int | None = None  # pad tabular features to a fixed
     #                                 width -> one compiled program across
     #                                 cell lines (zero columns are inert)
+    fused_embrace: bool = False     # run EmbraceNet docking + stochastic
+    #                                 embracement as one Pallas TPU kernel
+    #                                 (ops/pallas/embrace.py); same
+    #                                 distribution, different RNG stream
     width_buckets: bool = False     # slice supernet weights to the
     #                                 population's per-layer width maxima
     #                                 (exact; big FLOP cut when trials are

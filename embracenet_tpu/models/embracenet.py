@@ -127,12 +127,15 @@ def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,
           cnn_max_channels: tuple | None = None,
           ffnn_max_width: int | None = None,
           embrace_max: int | None = None,
-          post_max: int | None = None):
+          post_max: int | None = None,
+          fused: bool = False):
     """Forward -> (logits [B, 2], new_bn_state).
 
     The ``*_max`` statics are width buckets (population maxima): weights are
     statically sliced so compute costs the bucket dims, exactly equivalent
     to the full supernet (masked features are zero and prefix-aligned).
+    ``fused=True`` runs docking + embracement as one Pallas TPU kernel
+    (same distribution, different RNG stream than the XLA path).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -150,14 +153,7 @@ def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,
         max_depth=cnn_max_depth, max_channels=cnn_max_channels)
 
     e_mask = width_mask(EB, hp["embrace_size"])
-    d0 = jax.nn.relu(linear(
-        f_ffnn, params["dock0_w"][:f_ffnn.shape[1], :EB],
-        params["dock0_b"][:EB], compute_dtype)) * e_mask
-    d1 = jax.nn.relu(linear(
-        f_cnn, params["dock1_w"][:f_cnn.shape[1], :EB],
-        params["dock1_b"][:EB], compute_dtype)) * e_mask
-
-    b = d0.shape[0]
+    b = f_ffnn.shape[0]
     # modality dropout (EmbraceNetMultimodal.py:178-182): batch-level coin,
     # then per-sample single-modality availability.
     if availabilities is None and train and modality_dropout:
@@ -168,8 +164,35 @@ def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,
                                    one_hot_avail, jnp.ones((b, 2)))
     p = jnp.stack([jnp.broadcast_to(hp["p_ffnn"], (b,)),
                    jnp.broadcast_to(1.0 - hp["p_ffnn"], (b,))], axis=-1)
-    h = embrace([d0, d1], k_embrace, availabilities=availabilities,
-                selection_probabilities=p, e_mask=e_mask)
+
+    if fused:
+        # one Pallas kernel: both docking matmuls + ReLU + on-chip PRNG
+        # draw + select, no [B, E] docking activations in HBM
+        # (ops/pallas/embrace.py).  Availability folds into the per-row
+        # Bernoulli prob exactly as embrace() normalises it.
+        from embracenet_tpu.ops.pallas.embrace import fused_embrace
+
+        pa = p * (availabilities if availabilities is not None
+                  else jnp.ones((b, 2)))
+        p0 = pa[:, 0] / jnp.maximum(pa.sum(-1), 1e-30)
+        seed = jax.random.randint(k_embrace, (), 0, jnp.int32(2 ** 31 - 1),
+                                  dtype=jnp.int32)
+        h = fused_embrace(
+            f_ffnn, f_cnn,
+            params["dock0_w"][:f_ffnn.shape[1], :EB],
+            params["dock0_b"][:EB],
+            params["dock1_w"][:f_cnn.shape[1], :EB],
+            params["dock1_b"][:EB],
+            p0, e_mask, seed)
+    else:
+        d0 = jax.nn.relu(linear(
+            f_ffnn, params["dock0_w"][:f_ffnn.shape[1], :EB],
+            params["dock0_b"][:EB], compute_dtype)) * e_mask
+        d1 = jax.nn.relu(linear(
+            f_cnn, params["dock1_w"][:f_cnn.shape[1], :EB],
+            params["dock1_b"][:EB], compute_dtype)) * e_mask
+        h = embrace([d0, d1], k_embrace, availabilities=availabilities,
+                    selection_probabilities=p, e_mask=e_mask)
 
     # post MLP (0-2 layers) with pass-through selection
     n_post = hp["n_post"]

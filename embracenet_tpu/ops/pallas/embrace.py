@@ -36,30 +36,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(seed_ref, x0_ref, x1_ref, w0_ref, b0_ref, w1_ref, b1_ref,
-            p0_ref, emask_ref, out_ref, choose_ref):
+def _kernel(seed_ref, x0_ref, x1k_ref, w0_ref, b0_ref, w1k_ref, b1_ref,
+            p0_ref, emask_ref, out_ref, choose_ref, acc_ref):
+    """Grid (B-blocks, E-blocks, K-splits); k is innermost, so the big
+    ``[D1, E]`` docking weight streams through VMEM one ``[block_k,
+    block_e]`` tile at a time (Pallas double-buffers the next tile's DMA
+    against this step's MXU work).  The modality-1 partial products
+    accumulate in a VMEM scratch; the small modality-0 dock, the on-chip
+    PRNG draw and the select run once at the final k."""
     i = pl.program_id(0)
     j = pl.program_id(1)
+    k = pl.program_id(2)
     n_j = pl.num_programs(1)
-    pltpu.prng_seed(seed_ref[0] + i * n_j + j)
+    n_k = pl.num_programs(2)
 
-    d0 = jnp.maximum(
-        jnp.dot(x0_ref[:], w0_ref[:], preferred_element_type=jnp.float32)
-        + b0_ref[0, :], 0.0)
-    d1 = jnp.maximum(
-        jnp.dot(x1_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
-        + b1_ref[0, :], 0.0)
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # prng_random_bits yields *signed* int32 and Mosaic cannot cast
-    # uint32->f32; clear the sign bit to get 31 uniform bits (caught
-    # on-chip: the naive arithmetic shift of negatives skewed a p0=0.3
-    # draw to select modality 0 at 0.77)
-    bits = pltpu.prng_random_bits(d0.shape) & jnp.int32(0x7FFFFFFF)
-    u = bits.astype(jnp.float32) * (1.0 / (1 << 31))  # uniform [0, 1)
-    choose0 = u < p0_ref[:, 0:1]
-    out = jnp.where(choose0, d0, d1) * emask_ref[0, :]
-    out_ref[:] = out
-    choose_ref[:] = choose0.astype(jnp.float32)
+    acc_ref[:] += jnp.dot(x1k_ref[:], w1k_ref[:],
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _finish():
+        pltpu.prng_seed(seed_ref[0] + i * n_j + j)
+        d0 = jnp.maximum(
+            jnp.dot(x0_ref[:], w0_ref[:], preferred_element_type=jnp.float32)
+            + b0_ref[0, :], 0.0)
+        d1 = jnp.maximum(acc_ref[:] + b1_ref[0, :], 0.0)
+        # prng_random_bits yields *signed* int32 and Mosaic cannot cast
+        # uint32->f32; clear the sign bit to get 31 uniform bits (caught
+        # on-chip: the naive arithmetic shift of negatives skewed a p0=0.3
+        # draw to select modality 0 at 0.77)
+        bits = pltpu.prng_random_bits(d0.shape) & jnp.int32(0x7FFFFFFF)
+        u = bits.astype(jnp.float32) * (1.0 / (1 << 31))  # uniform [0, 1)
+        choose0 = u < p0_ref[:, 0:1]
+        out_ref[:] = jnp.where(choose0, d0, d1) * emask_ref[0, :]
+        choose_ref[:] = choose0.astype(jnp.float32)
 
 
 def _pad_to(x, axis, mult):
@@ -74,6 +87,7 @@ def _pad_to(x, axis, mult):
 
 def _fused_fwd_raw(x0, x1, w0, b0, w1, b1, p0, e_mask, seed,
                    block_b: int = 128, block_e: int = 128,
+                   block_k: int = 512,
                    interpret: bool = False, operand_dtype=jnp.bfloat16):
     if interpret is True:
         # boolean interpret lacks TPU-primitive (prng_*) rules off-TPU;
@@ -81,16 +95,17 @@ def _fused_fwd_raw(x0, x1, w0, b0, w1, b1, p0, e_mask, seed,
         interpret = pltpu.InterpretParams()
         operand_dtype = jnp.float32  # interpreter numerics for exact tests
     b, d0_in = x0.shape
-    d1_in = x1.shape[1]
     e = w0.shape[1]
-    # bf16 operands keep the [block_b, 7936] activation and [7936, block_e]
-    # weight tiles inside the 16 MB VMEM budget (f32 OOMs); MXU accumulates
-    # the dot in f32 via preferred_element_type.
+    # bf16 operands keep the streamed tiles far inside the 16 MB VMEM
+    # budget; the MXU accumulates every dot in f32 via
+    # preferred_element_type and the K accumulator scratch is f32.
     x0p = _pad_to(x0.astype(operand_dtype), 0, block_b)
-    x1p = _pad_to(x1.astype(operand_dtype), 0, block_b)
+    x1p = _pad_to(_pad_to(x1.astype(operand_dtype), 0, block_b), 1, block_k)
+    w1p = _pad_to(w1.astype(operand_dtype), 0, block_k)
     p0p = _pad_to(p0.reshape(-1, 1).astype(jnp.float32), 0, block_b)
     bp = x0p.shape[0]
-    grid = (bp // block_b, e // block_e)
+    kp = x1p.shape[1]
+    grid = (bp // block_b, e // block_e, kp // block_k)
 
     out, choose = pl.pallas_call(
         _kernel,
@@ -98,19 +113,20 @@ def _fused_fwd_raw(x0, x1, w0, b0, w1, b1, p0, e_mask, seed,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((block_b, d0_in), lambda i, j, s: (i, 0)),
-                pl.BlockSpec((block_b, d1_in), lambda i, j, s: (i, 0)),
-                pl.BlockSpec((d0_in, block_e), lambda i, j, s: (0, j)),
-                pl.BlockSpec((1, block_e), lambda i, j, s: (0, j)),
-                pl.BlockSpec((d1_in, block_e), lambda i, j, s: (0, j)),
-                pl.BlockSpec((1, block_e), lambda i, j, s: (0, j)),
-                pl.BlockSpec((block_b, 1), lambda i, j, s: (i, 0)),
-                pl.BlockSpec((1, block_e), lambda i, j, s: (0, j)),
+                pl.BlockSpec((block_b, d0_in), lambda i, j, k, s: (i, 0)),
+                pl.BlockSpec((block_b, block_k), lambda i, j, k, s: (i, k)),
+                pl.BlockSpec((d0_in, block_e), lambda i, j, k, s: (0, j)),
+                pl.BlockSpec((1, block_e), lambda i, j, k, s: (0, j)),
+                pl.BlockSpec((block_k, block_e), lambda i, j, k, s: (k, j)),
+                pl.BlockSpec((1, block_e), lambda i, j, k, s: (0, j)),
+                pl.BlockSpec((block_b, 1), lambda i, j, k, s: (i, 0)),
+                pl.BlockSpec((1, block_e), lambda i, j, k, s: (0, j)),
             ],
             out_specs=[
-                pl.BlockSpec((block_b, block_e), lambda i, j, s: (i, j)),
-                pl.BlockSpec((block_b, block_e), lambda i, j, s: (i, j)),
+                pl.BlockSpec((block_b, block_e), lambda i, j, k, s: (i, j)),
+                pl.BlockSpec((block_b, block_e), lambda i, j, k, s: (i, j)),
             ],
+            scratch_shapes=[pltpu.VMEM((block_b, block_e), jnp.float32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((bp, e), jnp.float32),
@@ -120,18 +136,19 @@ def _fused_fwd_raw(x0, x1, w0, b0, w1, b1, p0, e_mask, seed,
     )(jnp.asarray([seed], jnp.int32),
       x0p, x1p,
       w0.astype(operand_dtype), b0.reshape(1, -1).astype(jnp.float32),
-      w1.astype(operand_dtype), b1.reshape(1, -1).astype(jnp.float32),
+      w1p, b1.reshape(1, -1).astype(jnp.float32),
       p0p, e_mask.reshape(1, -1).astype(jnp.float32))
     return out[:b], choose[:b]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
 def fused_embrace(x0, x1, w0, b0, w1, b1, p0, e_mask, seed,
                   interpret=False):
     """Fused docking + stochastic embracement.
 
     x0 [B, D0], x1 [B, D1]; w0 [D0, E], w1 [D1, E]; p0 [B] prob of picking
-    modality 0 per feature; e_mask [E] embracement-size mask; seed int32.
+    modality 0 per feature; e_mask [E] embracement-size mask; seed int32
+    scalar (may be traced — it rides the scalar-prefetch lane).
     Returns [B, E].
     """
     out, _ = _fused_fwd_raw(x0, x1, w0, b0, w1, b1, p0, e_mask, seed,
@@ -145,7 +162,9 @@ def _fwd(x0, x1, w0, b0, w1, b1, p0, e_mask, seed, interpret):
     return out, (x0, x1, w0, b0, w1, b1, e_mask, choose, out)
 
 
-def _bwd(seed, interpret, res, g):
+def _bwd(interpret, res, g):
+    import numpy as np
+
     x0, x1, w0, b0, w1, b1, e_mask, choose, out = res
     g = g * e_mask[None, :]
     # out = choose * relu(x0 w0 + b0) + (1-choose) * relu(x1 w1 + b1)
@@ -162,7 +181,8 @@ def _bwd(seed, interpret, res, g):
     db1 = g1.sum(0)
     dp0 = jnp.zeros(x0.shape[:1], x0.dtype)  # sampling is not differentiated
     demask = jnp.zeros_like(e_mask)
-    return dx0, dx1, dw0, db0, dw1, db1, dp0, demask
+    dseed = np.zeros((), jax.dtypes.float0)  # integer arg: symbolic zero
+    return dx0, dx1, dw0, db0, dw1, db1, dp0, demask, dseed
 
 
 fused_embrace.defvjp(_fwd, _bwd)

@@ -346,6 +346,9 @@ def fit(spec: ModelSpec,
         for k in _WIDTH_KEYS:
             statics.pop(k, None)
 
+    if cfg.fused_embrace and spec.name == "EmbraceNetMultimodal":
+        statics["fused_embrace"] = True
+
     # Shrink params (and therefore grads + optimizer state) to the bucket
     # shapes: the apply fns' static a[:c] slices are no-ops on shrunk leaves,
     # and Adam stops paying full-supernet HBM traffic per batch.  Grown back

@@ -134,7 +134,8 @@ def _build_spec(model: str, in_features_ffnn: int | None = None) -> ModelSpec:
                                     cnn_max_channels=st.get("cnn_max_channels"),
                                     ffnn_max_width=st.get("ffnn_max_width"),
                                     embrace_max=st.get("embrace_max"),
-                                    post_max=st.get("post_max"))
+                                    post_max=st.get("post_max"),
+                                    fused=st.get("fused_embrace", False))
 
         def statics(hps):
             out = _cnn_statics(hps)

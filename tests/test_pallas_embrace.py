@@ -105,3 +105,40 @@ def test_gradients_match_manual(inputs):
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(g_x0), g0 @ w0.T, rtol=2e-4,
                                atol=2e-4)
+
+
+@tpu_only
+def test_fused_engine_training_parity(rng):
+    """TrainConfig(fused_embrace=True): the Pallas kernel trains inside
+    engine.fit and reaches the same quality as the XLA path (same data,
+    different RNG stream -> distributional parity on final AUPRC)."""
+    import numpy as np
+
+    from embracenet_tpu.config import TrainConfig
+    from embracenet_tpu.hpo import space
+    from embracenet_tpu.training import engine
+    from embracenet_tpu.training.modelspec import get_spec
+
+    n, d = 400, 16
+    y = (rng.random(n) < 0.3).astype(np.int64)
+    w = rng.normal(size=d)
+    x = (rng.normal(size=(n, d)) + np.outer(y * 2 - 1, w) * 0.9).astype(
+        np.float32)
+    codes = rng.integers(0, 4, size=(n, 256)).astype(np.uint8)
+    data = {"ffnn": x, "cnn": codes, "y": y}
+    train = {k: v[:300] for k, v in data.items()}
+    test = {k: v[300:] for k, v in data.items()}
+    spec = get_spec("EmbraceNetMultimodal", in_features_ffnn=d)
+    flat = space.sample_params("EmbraceNetMultimodal",
+                               np.random.default_rng(5))
+    flat.update(CNN_n_layers=1, lr=1e-3, optimizer="Adam")
+    hp = space.params_to_hp("EmbraceNetMultimodal", flat)
+    opt = space.optimizer_hp(flat)
+    kw = dict(num_epochs=8, epoch_chunk=8, batch_size=100)
+    r_xla = engine.fit(spec, [hp], [opt], train, test, TrainConfig(**kw))
+    r_fused = engine.fit(spec, [hp], [opt], train, test,
+                         TrainConfig(fused_embrace=True, **kw))
+    a_xla, a_fused = max(r_xla.auprc_test[0]), max(r_fused.auprc_test[0])
+    assert np.isfinite(a_fused)
+    # same signal, same budget: fused must land in the same quality band
+    assert abs(a_fused - a_xla) < 0.2, (a_fused, a_xla)

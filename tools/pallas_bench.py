@@ -1,0 +1,138 @@
+"""Fused-embracement kernel vs unfused XLA at production sizes (VERDICT r1
+item 3).  Measures forward and forward+backward wall time per call for the
+docking+embrace block in isolation, plus engine-level training throughput
+with TrainConfig(fused_embrace=True/False).
+
+Run on the real chip; writes PALLAS_BENCH_r2.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from embracenet_tpu.models.embracenet import embrace  # noqa: E402
+from embracenet_tpu.models.layers import linear, width_mask  # noqa: E402
+from embracenet_tpu.ops.pallas.embrace import fused_embrace  # noqa: E402
+
+
+def timed(fn, *args, iters=50):
+    fn(*args)[0].block_until_ready() if isinstance(fn(*args), tuple) \
+        else fn(*args).block_until_ready()
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+        (out[0] if isinstance(out, tuple) else out).block_until_ready()
+    return (time.time() - t0) / iters * 1e3  # ms
+
+
+def block_bench(B, D0, D1, E, seed=0):
+    rng = np.random.default_rng(seed)
+    x0 = jnp.asarray(rng.normal(size=(B, D0)).astype(np.float32))
+    x1 = jnp.asarray(rng.normal(size=(B, D1)).astype(np.float32))
+    w0 = jnp.asarray(rng.normal(size=(D0, E)).astype(np.float32)) * 0.02
+    b0 = jnp.zeros((E,), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(D1, E)).astype(np.float32)) * 0.02
+    b1 = jnp.zeros((E,), jnp.float32)
+    p0 = jnp.full((B,), 0.5, jnp.float32)
+    em = width_mask(E, E)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def unfused(x0, x1, w0, b0, w1, b1, p0):
+        d0 = jax.nn.relu(linear(x0.astype(jnp.bfloat16),
+                                w0.astype(jnp.bfloat16), b0)) * em
+        d1 = jax.nn.relu(linear(x1.astype(jnp.bfloat16),
+                                w1.astype(jnp.bfloat16), b1)) * em
+        p = jnp.stack([p0, 1 - p0], -1)
+        return embrace([d0, d1], key, selection_probabilities=p, e_mask=em)
+
+    @jax.jit
+    def fused(x0, x1, w0, b0, w1, b1, p0):
+        return fused_embrace(x0, x1, w0, b0, w1, b1, p0, em, 7)
+
+    def loss_u(args):
+        return (unfused(*args) ** 2).sum()
+
+    def loss_f(args):
+        return (fused(*args) ** 2).sum()
+
+    gu = jax.jit(jax.grad(lambda a: loss_u(a)))
+    gf = jax.jit(jax.grad(lambda a: loss_f(a)))
+    args = (x0, x1, w0, b0, w1, b1, p0)
+
+    row = {"B": B, "D0": D0, "D1": D1, "E": E,
+           "fwd_unfused_ms": round(timed(lambda *a: unfused(*args)), 3),
+           "fwd_fused_ms": round(timed(lambda *a: fused(*args)), 3),
+           "bwd_unfused_ms": round(timed(lambda *a: gu(args)[0]), 3),
+           "bwd_fused_ms": round(timed(lambda *a: gf(args)[0]), 3)}
+    row["fwd_speedup"] = round(row["fwd_unfused_ms"] / row["fwd_fused_ms"], 3)
+    row["bwd_speedup"] = round(row["bwd_unfused_ms"] / row["bwd_fused_ms"], 3)
+    print(row, flush=True)
+    return row
+
+
+def engine_bench(fused: bool, n=4000, epochs=10, batch=1024):
+    from embracenet_tpu.config import TrainConfig
+    from embracenet_tpu.hpo import space
+    from embracenet_tpu.training import engine
+    from embracenet_tpu.training.modelspec import get_spec
+
+    rng = np.random.default_rng(0)
+    d = 64
+    y = (rng.random(n + 500) < 0.2).astype(np.int64)
+    data = {"ffnn": rng.normal(size=(n + 500, d)).astype(np.float32),
+            "cnn": rng.integers(0, 4, size=(n + 500, 256)).astype(np.uint8),
+            "y": y}
+    train = {k: v[:n] for k, v in data.items()}
+    test = {k: v[n:] for k, v in data.items()}
+    flat = space.sample_params("EmbraceNetMultimodal",
+                               np.random.default_rng(3))
+    flat.update(CNN_n_layers=1, EMBRACENET_embracement_size=1024)
+    hp = space.params_to_hp("EmbraceNetMultimodal", flat)
+    opt = space.optimizer_hp(flat)
+    spec = get_spec("EmbraceNetMultimodal", in_features_ffnn=d)
+    cfg = TrainConfig(num_epochs=epochs, epoch_chunk=epochs,
+                      batch_size=batch, compute_dtype="bfloat16",
+                      patience=10_000, fused_embrace=fused)
+    engine.fit(spec, [hp], [opt], train, test, cfg)
+    t0 = time.time()
+    res = engine.fit(spec, [hp], [opt], train, test, cfg)
+    dt = time.time() - t0
+    ep = len(res.auprc_test[0])
+    wps = n * ep / dt
+    print(f"engine fused={fused}: {dt:.2f}s -> {wps:.0f} w/s", flush=True)
+    return wps
+
+
+def main():
+    out = {"blocks": [], "engine": {}}
+    for B in (256, 1024, 4096):
+        out["blocks"].append(block_bench(B, 256, 7936, 1024))
+    out["engine"]["unfused_wps"] = round(engine_bench(False), 1)
+    out["engine"]["fused_wps"] = round(engine_bench(True), 1)
+    out["engine"]["speedup"] = round(
+        out["engine"]["fused_wps"] / out["engine"]["unfused_wps"], 3)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PALLAS_BENCH_r2.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out["engine"], indent=1))
+
+
+if __name__ == "__main__":
+    main()
