@@ -87,3 +87,23 @@ def test_iterative_impute_recovers_linear(rng):
 def test_impute_noop_without_missing(rng):
     x = rng.normal(size=(20, 3))
     np.testing.assert_array_equal(preprocess.iterative_impute(x), x)
+
+
+def test_iterative_impute_mask_and_recover_quality(rng):
+    """Mask-and-recover: the MICE replacement must recover masked entries of
+    a correlated matrix far better than mean fill (full protocol + sklearn
+    IterativeImputer comparison in tools/impute_bench.py -> IMPUTE_BENCH_r2:
+    ours 0.086 RMSE vs sklearn 0.076 vs mean-fill 0.159)."""
+    from embracenet_tpu.data.preprocess import iterative_impute
+
+    n, d, rank = 500, 30, 6
+    z = rng.normal(size=(n, rank))
+    x = z @ rng.normal(size=(rank, d)) + 0.3 * rng.normal(size=(n, d))
+    m = rng.random(x.shape) < 0.15
+    xm = x.copy()
+    xm[m] = np.nan
+    filled = iterative_impute(xm, n_iter=6)
+    rmse_ours = np.sqrt(np.mean((filled[m] - x[m]) ** 2))
+    mean_fill = np.where(np.isnan(xm), np.nanmean(xm, 0, keepdims=True), xm)
+    rmse_mean = np.sqrt(np.mean((mean_fill[m] - x[m]) ** 2))
+    assert rmse_ours < 0.6 * rmse_mean, (rmse_ours, rmse_mean)
