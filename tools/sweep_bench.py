@@ -58,6 +58,10 @@ def main():
     ap.add_argument("--folds", type=int, default=3)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--out", default="sweep_bench.json")
+    ap.add_argument("--width-buckets", action="store_true",
+                    help="per-population width-sliced programs (min FLOPs; "
+                         "more program variants — best with a warm compile "
+                         "cache) instead of one shared full-size program")
     args = ap.parse_args()
 
     cells = CELL_LINES[:args.cells]
@@ -67,7 +71,9 @@ def main():
 
     train_cfg = TrainConfig(
         num_epochs=args.epochs, epoch_chunk=10, batch_size=100,
-        compute_dtype="bfloat16", cnn_full_depth=True,
+        compute_dtype="bfloat16",
+        cnn_full_depth=not args.width_buckets,
+        width_buckets=args.width_buckets,
         pad_ffnn_features=args.features)
     cv_cfg = CVConfig(n_folds=args.folds, n_trials=args.trials,
                       sampler="TPE")
