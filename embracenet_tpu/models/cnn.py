@@ -138,8 +138,8 @@ def features(params, bn_state, hp, x, *, train: bool = False, key=None,
         bn_s = {k: v[:c_out] for k, v in bn_state[f"bn{i}"].items()}
         z, bn_new = batchnorm_apply(z, bn_p, bn_s, train, row_mask)
         new_bn_state[f"bn{i}"] = {
-            k: bn_state[f"bn{i}"][k].at[:c_out].set(bn_new[k])
-            for k in bn_new}
+            k: jnp.asarray(bn_state[f"bn{i}"][k]).at[:c_out].set(bn_new[k])
+            for k in bn_new}  # asarray: callers may pass numpy bn state
         z = jax.nn.relu(z)
         z = maxpool1d(z)
         z = _dropout(z, rates[i], keys[i], train)
