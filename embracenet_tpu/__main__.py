@@ -25,7 +25,10 @@ def _train_cfg(args):
     return TrainConfig(
         num_epochs=args.epochs, batch_size=args.batch_size,
         compute_dtype="bfloat16" if args.bf16 else "float32",
-        auprc_on_probabilities=args.auprc_prob)
+        auprc_on_probabilities=args.auprc_prob,
+        width_buckets=args.width_buckets,
+        fused_embrace=args.fused_embrace,
+        eval_reshuffle=args.eval_reshuffle)
 
 
 def _cv_cfg(args):
@@ -59,6 +62,14 @@ def main(argv=None):
         p.add_argument("--auprc-prob", action="store_true",
                        help="probability-AUPRC instead of the reference's "
                             "argmax quirk")
+        p.add_argument("--width-buckets", action="store_true",
+                       help="width-sliced sub-population programs (min "
+                            "FLOPs; more compiled variants)")
+        p.add_argument("--fused-embrace", action="store_true",
+                       help="Pallas fused docking+embracement kernel (TPU)")
+        p.add_argument("--eval-reshuffle", action="store_true",
+                       help="strict parity: reshuffle eval batches every "
+                            "epoch like the reference's test DataLoader")
         p.add_argument("--results", default="results_dict.json")
         p.add_argument("--storage", default="optuna_tuning.db")
         p.add_argument("--checkpoint-dir", default="models")

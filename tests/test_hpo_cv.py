@@ -571,3 +571,25 @@ def test_tpe_beats_random_on_categorical_heavy_space():
     assert np.mean(tpe) > np.mean(rnd), (tpe, rnd)
     # and it should find the deep region almost always
     assert np.mean(tpe) > 0.45, tpe
+
+
+def test_kfold_cv_width_buckets_end_to_end(tmp_path, rng):
+    """Full CV with width_buckets on: HPO groups + exact-size retrain +
+    grow-back checkpoints reload cleanly."""
+    data = _tabular(rng, n=240)
+    cv = KfoldCV()
+    name = checkpoint_name("K562", "FFNN", "t", 0)
+    scores = cv(data, "FFNN", task="t", cell_line="K562",
+                cv_cfg=CVConfig(n_folds=2, n_trials=2, sampler="random"),
+                train_cfg=TrainConfig(num_epochs=3, batch_size=60,
+                                      width_buckets=True),
+                storage=str(tmp_path / "cv.db"), checkpoint_dir=str(tmp_path),
+                test_model_path=name)
+    assert len(scores["final_test_AUPRC_scores"]) == 2
+    assert all(np.isfinite(scores["final_test_AUPRC_scores"]))
+
+    from embracenet_tpu import api
+
+    probs = api.predict(os.path.join(str(tmp_path), name), data)
+    assert probs.shape == (240, 2)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
