@@ -19,9 +19,15 @@ import os
 import re
 
 import numpy as np
-import pandas as pd
 
 from embracenet_tpu.data.codec import encode_sequences
+
+
+def _pd():
+    """Lazy pandas import: ingestion is the only layer that needs it, so the
+    rest of the framework imports (and trains) without pandas installed."""
+    import pandas as pd
+    return pd
 
 INFO_COLUMNS = ("chrom", "chromStart", "chromEnd", "strand")
 
@@ -51,7 +57,7 @@ def read_fasta(path: str, seq_rng=0, seq_len: int | None = None
                                             if isinstance(seq_rng, int) else 0)
         if parsed is not None:
             codes, headers = parsed
-            coords = pd.DataFrame(
+            coords = _pd().DataFrame(
                 [re.split("[>:-]", h)[1:4] for h in headers],
                 columns=["chrom", "chromStart", "chromEnd"])
             return codes, coords
@@ -59,19 +65,19 @@ def read_fasta(path: str, seq_rng=0, seq_len: int | None = None
     with open(path) as fh:
         for i, line in enumerate(fh):
             (seqs if i % 2 == 0 else headers).append(line.strip())
-    coords = pd.DataFrame(
+    coords = _pd().DataFrame(
         [re.split("[>:-]", h)[1:4] for h in headers],
         columns=["chrom", "chromStart", "chromEnd"])
     return encode_sequences(seqs, seq_rng), coords
 
 
 def read_bed(path: str) -> pd.DataFrame:
-    return pd.read_csv(path, sep="\t")
+    return _pd().read_csv(path, sep="\t")
 
 
 def read_features_csv(path: str) -> tuple[np.ndarray, list, pd.DataFrame]:
     """-> (feature matrix, feature names, info columns df)."""
-    df = pd.read_csv(path)
+    df = _pd().read_csv(path)
     info = df[[c for c in INFO_COLUMNS if c in df.columns]]
     feats = df.drop(columns=[c for c in INFO_COLUMNS if c in df.columns])
     return feats.to_numpy(np.float64), list(feats.columns), info

@@ -16,7 +16,8 @@ Splits operate on row indices so tabular and sequence views stay aligned
 from __future__ import annotations
 
 import numpy as np
-from sklearn.model_selection import KFold, train_test_split
+
+from embracenet_tpu.utils.skcompat import kfold_split, train_test_split
 
 
 def split_indices(n: int, hyper_tuning: bool = False, test_size: float = 0.25,
@@ -26,11 +27,10 @@ def split_indices(n: int, hyper_tuning: bool = False, test_size: float = 0.25,
     `dataprepare.py:197-261`)."""
     idx = np.arange(n)
     tr, te = train_test_split(idx, test_size=test_size,
-                              random_state=random_state, shuffle=True)
+                              random_state=random_state)
     if hyper_tuning:
         tr, te = train_test_split(tr, test_size=validation_size,
-                                  random_state=random_state + 100,
-                                  shuffle=True)
+                                  random_state=random_state + 100)
     return tr, te
 
 
@@ -59,5 +59,4 @@ def split_data(data: dict, hyper_tuning: bool = False, test_size: float = 0.25,
 def cv_indices(n: int, n_folds: int = 3, random_state: int = 123):
     """KFold index pairs (reference ``return_index_data_for_cv``,
     `dataprepare.py:264-306`)."""
-    kf = KFold(n_splits=n_folds, shuffle=True, random_state=random_state)
-    return list(kf.split(np.arange(n)))
+    return kfold_split(n, n_folds, random_state)

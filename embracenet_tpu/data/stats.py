@@ -19,7 +19,7 @@ Numerical parity with scipy is asserted in tests/test_stats.py:
 from __future__ import annotations
 
 import numpy as np
-from scipy.stats import chi2, norm, rankdata
+from embracenet_tpu.utils.statcompat import chi2_sf, norm_sf, rankdata
 
 
 def _tie_term(ranked: np.ndarray) -> np.ndarray:
@@ -45,7 +45,7 @@ def kruskal_pvalues(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     tie = 1.0 - _tie_term(ranks) / (n ** 3 - n)
     with np.errstate(divide="ignore", invalid="ignore"):
         h = np.where(tie > 0, h / tie, np.nan)
-    return chi2.sf(h, df=1)
+    return chi2_sf(h, df=1)
 
 
 def ranksums_pvalues(x: np.ndarray, y: np.ndarray) -> np.ndarray:
@@ -60,7 +60,7 @@ def ranksums_pvalues(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     s = ranks[y == 1].sum(axis=0)
     expected = n1 * (n + 1) / 2.0
     z = (s - expected) / np.sqrt(n1 * n0 * (n + 1) / 12.0)
-    return 2.0 * norm.sf(np.abs(z))
+    return 2.0 * norm_sf(np.abs(z))
 
 
 def spearman_matrix(x: np.ndarray) -> np.ndarray:

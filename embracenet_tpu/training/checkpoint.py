@@ -69,12 +69,21 @@ def save_checkpoint(path: str, trees: dict, meta: dict | None = None):
              **flat)
 
 
+def _check_orbax():
+    """EMBRACENET_NO_ORBAX=1 refuses the orbax backend up front: importing a
+    partially broken tensorstore wheel dies with SIGBUS at .so load, which no
+    try/except can catch (the npz backend keeps working regardless)."""
+    if os.environ.get("EMBRACENET_NO_ORBAX"):
+        raise ImportError("orbax backend disabled via EMBRACENET_NO_ORBAX")
+
+
 def save_checkpoint_orbax(path: str, trees: dict, meta: dict | None = None):
     """Orbax-backed variant (async-capable, multi-host-safe storage layout).
 
     Same logical content as :func:`save_checkpoint`; use for large models or
     multi-host runs.  Requires orbax-checkpoint (baked into this image).
     """
+    _check_orbax()
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path.rstrip("/"))
@@ -89,6 +98,7 @@ def save_checkpoint_orbax(path: str, trees: dict, meta: dict | None = None):
 
 
 def load_checkpoint_orbax(path: str):
+    _check_orbax()
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path.rstrip("/"))

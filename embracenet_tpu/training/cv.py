@@ -27,7 +27,7 @@ from collections import defaultdict
 
 import jax
 import numpy as np
-from sklearn.model_selection import KFold, train_test_split
+from embracenet_tpu.utils.skcompat import kfold_split, train_test_split
 
 from embracenet_tpu.config import CVConfig, TrainConfig
 from embracenet_tpu.data import sampling
@@ -129,9 +129,8 @@ class KfoldCV:
         study_name = study_name or f"{cell_line}_{task}_{model}"
         avg_score = []
 
-        kf = KFold(n_splits=cv_cfg.n_folds, shuffle=True,
-                   random_state=random_state)
-        for i, (train_index, test_index) in enumerate(kf.split(np.arange(n))):
+        folds = kfold_split(n, cv_cfg.n_folds, random_state)
+        for i, (train_index, test_index) in enumerate(folds):
             fold = i + 1
             if verbose:
                 print(f">>> fold {fold}/{cv_cfg.n_folds}")
@@ -158,7 +157,7 @@ class KfoldCV:
                 continue
             tr_idx, val_idx = train_test_split(
                 train_index, test_size=1 / cv_cfg.n_folds,
-                random_state=random_state, shuffle=True)
+                random_state=random_state)
 
             def view_slice(idx):
                 d = {v: np.asarray(data[v])[idx] for v in views}

@@ -20,8 +20,14 @@ import os
 import pickle
 
 import numpy as np
-import pandas as pd
-from scipy.stats import ranksums, wilcoxon
+from embracenet_tpu.utils.statcompat import ranksums, wilcoxon
+
+
+def _pd():
+    """Lazy pandas import: only the tabular report views need it, so the
+    module (and select_augmented_models) works without pandas installed."""
+    import pandas as pd
+    return pd
 
 from embracenet_tpu import CELL_LINES, TASKS
 from embracenet_tpu.training.results import baseline_auprc
@@ -38,7 +44,7 @@ def get_imbalance_ratio_df(labels: dict) -> pd.DataFrame:
         out[task] = {c: float((np.asarray(y) == 0).sum() /
                               max((np.asarray(y) == 1).sum(), 1))
                      for c, y in cells.items()}
-    return pd.DataFrame(out).round(2)
+    return _pd().DataFrame(out).round(2)
 
 
 def get_baseline_df(labels: dict) -> pd.DataFrame:
@@ -46,7 +52,7 @@ def get_baseline_df(labels: dict) -> pd.DataFrame:
     out = {}
     for task, cells in labels.items():
         out[task] = {c: baseline_auprc(y) for c, y in cells.items()}
-    return pd.DataFrame(out).round(3)
+    return _pd().DataFrame(out).round(3)
 
 
 def get_average_auprc_df(results: dict, cell_line: str,
@@ -61,7 +67,7 @@ def get_average_auprc_df(results: dict, cell_line: str,
             entry = node.get(m)
             col[m] = entry.get("average_CV_AUPRC") if entry else np.nan
         table[task] = col
-    return pd.DataFrame(table)
+    return _pd().DataFrame(table)
 
 
 def get_standard_dev_df(results: dict, cell_line: str,
@@ -76,7 +82,7 @@ def get_standard_dev_df(results: dict, cell_line: str,
             scores = entry.get("final_test_AUPRC_scores") if entry else None
             col[m] = float(np.std(scores)) if scores else np.nan
         table[task] = col
-    return pd.DataFrame(table)
+    return _pd().DataFrame(table)
 
 
 def plot_label_ratio(labels_by_cell: dict, task: str, save_path=None):
@@ -212,7 +218,7 @@ def compare_model_overall_performance(results: dict,
         _, pg = ranksums(base, vs, alternative="greater")
         rows[other] = {"two_sided_p": float(p2), "greater_p": float(pg),
                        "n": min(len(base), len(vs))}
-    return pd.DataFrame(rows).T
+    return _pd().DataFrame(rows).T
 
 
 def select_augmented_models(results: dict, cell_line: str, task: str,

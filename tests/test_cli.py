@@ -9,6 +9,19 @@ import pytest
 from embracenet_tpu.__main__ import main
 
 
+def _pandas_usable():
+    import subprocess
+    import sys
+
+    return subprocess.run(
+        [sys.executable, "-c", "import pandas; pandas.DataFrame({'a': [1]})"],
+        capture_output=True, timeout=120).returncode == 0
+
+
+requires_pandas = pytest.mark.skipif(not _pandas_usable(),
+                                     reason="pandas unavailable")
+
+
 @pytest.fixture
 def data_root(tmp_path, rng):
     import sys
@@ -22,6 +35,7 @@ def data_root(tmp_path, rng):
     return root
 
 
+@requires_pandas
 def test_cli_preprocess_and_train_and_evaluate(data_root, tmp_path, capsys,
                                                monkeypatch):
     monkeypatch.chdir(tmp_path)
@@ -53,6 +67,7 @@ def test_cli_preprocess_and_train_and_evaluate(data_root, tmp_path, capsys,
     assert 0.0 <= ev["AUPRC"] <= 1.0 and "AUROC" in ev
 
 
+@requires_pandas
 def test_cli_parity(tmp_path, capsys, monkeypatch):
     import shutil
 

@@ -218,6 +218,19 @@ def test_kfold_cv_multimodal_end_to_end(tmp_path, rng):
     assert probs.shape == (n, 2)
 
 
+def _orbax_usable():
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("EMBRACENET_NO_ORBAX"):
+        return False
+    return subprocess.run(
+        [sys.executable, "-c", "import orbax.checkpoint"],
+        capture_output=True, timeout=120).returncode == 0
+
+
+@pytest.mark.skipif(not _orbax_usable(), reason="orbax/tensorstore unavailable")
 def test_orbax_checkpoint_roundtrip(tmp_path, rng):
     from embracenet_tpu.training.checkpoint import (
         load_checkpoint_orbax,

@@ -64,6 +64,21 @@ def test_native_knn_matches_numpy(rng):
 
 
 @native
+
+
+def _pandas_usable():
+    import subprocess
+    import sys
+
+    return subprocess.run(
+        [sys.executable, "-c", "import pandas; pandas.DataFrame({'a': [1]})"],
+        capture_output=True, timeout=120).returncode == 0
+
+
+requires_pandas = pytest.mark.skipif(not _pandas_usable(),
+                                     reason="pandas unavailable")
+
+@requires_pandas
 def test_native_read_fasta_via_io(tmp_path, rng):
     from embracenet_tpu.data.io import read_fasta
 

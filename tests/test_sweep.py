@@ -16,6 +16,21 @@ def test_load_baseline_md_parses_reference_table():
     assert len(ref) == 35 * 6
 
 
+
+
+def _pandas_usable():
+    import subprocess
+    import sys
+
+    return subprocess.run(
+        [sys.executable, "-c", "import pandas; pandas.DataFrame({'a': [1]})"],
+        capture_output=True, timeout=120).returncode == 0
+
+
+requires_pandas = pytest.mark.skipif(not _pandas_usable(),
+                                     reason="pandas unavailable")
+
+@requires_pandas
 def test_run_sweep_and_parity_report(tmp_path, rng):
     def data_fn(cell, task):
         n, d = 220, 8
