@@ -89,7 +89,8 @@ def flat_bucket(max_depth: int, max_channels: tuple | None) -> int:
 
 def features(params, bn_state, hp, x, *, train: bool = False, key=None,
              row_mask=None, compute_dtype=None, max_depth: int | None = None,
-             max_channels: tuple | None = None):
+             max_channels: tuple | None = None,
+             max_kernels: tuple | None = None):
     """Headless forward (reference ``CNN_pre``).
 
     Returns ``(flat [B, FB], flat_mask [FB], new_bn_state)`` where
@@ -130,8 +131,14 @@ def features(params, bn_state, hp, x, *, train: bool = False, key=None,
     for i in range(max_depth):
         c_in = CNN_IN_CHANNELS if i == 0 else mc[i - 1]
         c_out = mc[i]
-        tap = kernel_tap_mask(CNN_MAX_KERNEL, kernels[i])
-        w = params[f"conv_w{i}"][:c_out, :c_in, :] * tap[None, None, :]
+        # kernel bucket: the centered mk taps of a same-padded CNN_MAX_KERNEL
+        # conv compute exactly a same-padded mk-tap conv (odd sizes, both
+        # paddings symmetric), so slicing to the population's per-layer max
+        # kernel cuts conv FLOPs with identical math
+        mk = max_kernels[i] if max_kernels else CNN_MAX_KERNEL
+        lo = (CNN_MAX_KERNEL - mk) // 2
+        tap = kernel_tap_mask(mk, kernels[i])
+        w = params[f"conv_w{i}"][:c_out, :c_in, lo:lo + mk] * tap[None, None, :]
         z = conv1d_ncw(h, w, compute_dtype) \
             + params[f"conv_b{i}"][:c_out][None, :, None]
         bn_p = {k: v[:c_out] for k, v in params[f"bn{i}"].items()}
@@ -164,7 +171,8 @@ def features(params, bn_state, hp, x, *, train: bool = False, key=None,
 
 def apply(params, bn_state, hp, x, *, train: bool = False, key=None,
           row_mask=None, compute_dtype=None, max_depth: int | None = None,
-          max_channels: tuple | None = None):
+          max_channels: tuple | None = None,
+          max_kernels: tuple | None = None):
     """Headful forward -> (logits [B, n_classes], new_bn_state).
 
     The FC head is linear->linear->linear with no activations
@@ -174,7 +182,8 @@ def apply(params, bn_state, hp, x, *, train: bool = False, key=None,
                                      key=key, row_mask=row_mask,
                                      compute_dtype=compute_dtype,
                                      max_depth=max_depth,
-                                     max_channels=max_channels)
+                                     max_channels=max_channels,
+                                     max_kernels=max_kernels)
     h = linear(flat, params["w_fc1"][:flat.shape[1], :], params["b_fc1"],
                compute_dtype)
     h = linear(h, params["w_fc2"], params["b_fc2"], compute_dtype)

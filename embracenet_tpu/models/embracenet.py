@@ -125,6 +125,7 @@ def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,
           modality_dropout: bool = True, compute_dtype=None,
           cnn_max_depth: int | None = None,
           cnn_max_channels: tuple | None = None,
+          cnn_max_kernels: tuple | None = None,
           ffnn_max_width: int | None = None,
           embrace_max: int | None = None,
           post_max: int | None = None,
@@ -150,7 +151,8 @@ def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,
     f_cnn, _, new_bn_state = cnn_mod.features(
         params["cnn"], bn_state, hp["cnn"], x_cnn, train=train, key=k_cnn,
         row_mask=row_mask, compute_dtype=compute_dtype,
-        max_depth=cnn_max_depth, max_channels=cnn_max_channels)
+        max_depth=cnn_max_depth, max_channels=cnn_max_channels,
+        max_kernels=cnn_max_kernels)
 
     e_mask = width_mask(EB, hp["embrace_size"])
     b = f_ffnn.shape[0]

@@ -9,9 +9,10 @@ supernet sized to the group max) trades extra compiled programs for a large
 FLOP cut; on remote-compile infrastructure program count must stay small, so
 the planner only splits when the projected saving clears ``min_gain``.
 
-Cost model: forward MACs/sample of the bucket's supernet (convs dominate;
-kernel taps always run at the maximal 15 because kernel choice is a weight
-mask, models/layers.py kernel_tap_mask).
+Cost model: forward MACs/sample of the bucket's supernet (convs dominate).
+Kernel choice is a *centered* weight mask (models/layers.py
+kernel_tap_mask), so a bucket pays its own per-layer max kernel taps —
+the planner is kernel-aware and groups small-kernel trials together.
 """
 
 from __future__ import annotations
@@ -30,11 +31,13 @@ from embracenet_tpu.ops.convmath import CNN_LENGTHS
 def _cnn_flops(statics) -> float:
     depth = statics["cnn_max_depth"]
     mc = statics["cnn_max_channels"]
+    mk = statics.get("cnn_max_kernels",
+                     (CNN_MAX_KERNEL,) * len(mc))
     total = 0.0
     for i in range(depth):
         c_in = CNN_IN_CHANNELS if i == 0 else mc[i - 1]
         l_in = 256 if i == 0 else CNN_LENGTHS[i - 1]
-        total += l_in * c_in * mc[i] * CNN_MAX_KERNEL
+        total += l_in * c_in * mc[i] * mk[i]
     return total
 
 

@@ -331,8 +331,8 @@ def fit(spec: ModelSpec,
                       seed=123)
 
     statics = spec.statics(hp_list) if spec.statics else {}
-    _WIDTH_KEYS = ("cnn_max_channels", "ffnn_max_width", "embrace_max",
-                   "post_max")
+    _WIDTH_KEYS = ("cnn_max_channels", "cnn_max_kernels", "ffnn_max_width",
+                   "embrace_max", "post_max")
     if not cfg.width_buckets:
         # full supernet widths -> one program shape across populations
         for k in _WIDTH_KEYS:

@@ -43,16 +43,21 @@ def _cnn_statics(hp_list, key="cnn"):
     draw-stable).  The engine drops width keys unless
     TrainConfig.width_buckets is on.
     """
-    from embracenet_tpu.config import CNN_CHANNEL_MENUS, CNN_MAX_LAYERS
+    from embracenet_tpu.config import (CNN_CHANNEL_MENUS, CNN_KERNEL_MENU,
+                                       CNN_MAX_LAYERS)
 
     subs = [hp[key] if key else hp for hp in hp_list]
     depth = max(int(s["n_layers"]) for s in subs)
-    mc = []
+    mc, mk = [], []
     for i in range(CNN_MAX_LAYERS):
         used = [int(s["channels"][i]) for s in subs
                 if int(s["n_layers"]) > i]
         mc.append(max(used) if used else min(CNN_CHANNEL_MENUS[i]))
-    return {"cnn_max_depth": depth, "cnn_max_channels": tuple(mc)}
+        used_k = [int(s["kernels"][i]) for s in subs
+                  if int(s["n_layers"]) > i]
+        mk.append(max(used_k) if used_k else min(CNN_KERNEL_MENU))
+    return {"cnn_max_depth": depth, "cnn_max_channels": tuple(mc),
+            "cnn_max_kernels": tuple(mk)}
 
 
 def _ffnn_width(hp_list, key="ffnn"):
@@ -114,7 +119,8 @@ def _build_spec(model: str, in_features_ffnn: int | None = None) -> ModelSpec:
             return cnn.apply(params, bn_state, hp, x, train=train, key=key,
                              row_mask=row_mask, compute_dtype=compute_dtype,
                              max_depth=st.get("cnn_max_depth"),
-                             max_channels=st.get("cnn_max_channels"))
+                             max_channels=st.get("cnn_max_channels"),
+                             max_kernels=st.get("cnn_max_kernels"))
 
         return ModelSpec(model, ("cnn",), init, apply,
                          lambda hps: _cnn_statics(hps, key=None))
@@ -132,6 +138,7 @@ def _build_spec(model: str, in_features_ffnn: int | None = None) -> ModelSpec:
                                     compute_dtype=compute_dtype,
                                     cnn_max_depth=st.get("cnn_max_depth"),
                                     cnn_max_channels=st.get("cnn_max_channels"),
+                                    cnn_max_kernels=st.get("cnn_max_kernels"),
                                     ffnn_max_width=st.get("ffnn_max_width"),
                                     embrace_max=st.get("embrace_max"),
                                     post_max=st.get("post_max"),
@@ -159,6 +166,7 @@ def _build_spec(model: str, in_features_ffnn: int | None = None) -> ModelSpec:
                                    compute_dtype=compute_dtype,
                                    cnn_max_depth=st.get("cnn_max_depth"),
                                    cnn_max_channels=st.get("cnn_max_channels"),
+                                   cnn_max_kernels=st.get("cnn_max_kernels"),
                                    ffnn_max_width=st.get("ffnn_max_width"),
                                    post_max=st.get("post_max"))
 

@@ -101,6 +101,7 @@ def test_statics_values(rng):
     st = spec.statics([hp])
     assert st["cnn_max_depth"] == 2
     assert st["cnn_max_channels"][:2] == (32, 64)
+    assert st["cnn_max_kernels"][:2] == (5, 11)
     assert st["ffnn_max_width"] == 64
     assert st["embrace_max"] == 768
     assert st["post_max"] == 128
