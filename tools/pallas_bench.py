@@ -30,17 +30,11 @@ from embracenet_tpu.models.layers import linear, width_mask  # noqa: E402
 from embracenet_tpu.ops.pallas.embrace import fused_embrace  # noqa: E402
 
 
-def timed(fn, *args, iters=50):
-    fn(*args)[0].block_until_ready() if isinstance(fn(*args), tuple) \
-        else fn(*args).block_until_ready()
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-        (out[0] if isinstance(out, tuple) else out).block_until_ready()
-    return (time.time() - t0) / iters * 1e3  # ms
-
-
-def block_bench(B, D0, D1, E, seed=0):
+def block_bench(B, D0, D1, E, seed=0, iters=20):
+    """Per-call dispatch over the axon tunnel is ~25 ms — far above the
+    kernel's own runtime — so each variant runs ``iters`` data-dependent
+    repetitions inside ONE jitted program (lax.scan with an input feedback
+    so nothing is DCE'd or hoisted) and reports per-iteration time."""
     rng = np.random.default_rng(seed)
     x0 = jnp.asarray(rng.normal(size=(B, D0)).astype(np.float32))
     x1 = jnp.asarray(rng.normal(size=(B, D1)).astype(np.float32))
@@ -52,8 +46,7 @@ def block_bench(B, D0, D1, E, seed=0):
     em = width_mask(E, E)
     key = jax.random.PRNGKey(0)
 
-    @jax.jit
-    def unfused(x0, x1, w0, b0, w1, b1, p0):
+    def unfused_once(x0, x1, w0, b0, w1, b1, p0):
         d0 = jax.nn.relu(linear(x0.astype(jnp.bfloat16),
                                 w0.astype(jnp.bfloat16), b0)) * em
         d1 = jax.nn.relu(linear(x1.astype(jnp.bfloat16),
@@ -61,25 +54,58 @@ def block_bench(B, D0, D1, E, seed=0):
         p = jnp.stack([p0, 1 - p0], -1)
         return embrace([d0, d1], key, selection_probabilities=p, e_mask=em)
 
-    @jax.jit
-    def fused(x0, x1, w0, b0, w1, b1, p0):
+    def fused_once(x0, x1, w0, b0, w1, b1, p0):
         return fused_embrace(x0, x1, w0, b0, w1, b1, p0, em, 7)
 
-    def loss_u(args):
-        return (unfused(*args) ** 2).sum()
+    def fwd_loop(once):
+        @jax.jit
+        def run(x0, x1, w0, b0, w1, b1, p0):
+            def body(c, _):
+                out = once(c, x1, w0, b0, w1, b1, p0)
+                # feed a cheap function of the output back into x0 so every
+                # iteration depends on the previous one
+                return c + 1e-6 * out[:, :D0], ()
+            c, _ = jax.lax.scan(body, x0, None, length=iters)
+            return c
+        return run
 
-    def loss_f(args):
-        return (fused(*args) ** 2).sum()
+    def bwd_loop(once):
+        def loss(x0, x1, w0, b0, w1, b1, p0):
+            def body(carry, _):
+                c, acc = carry
+                out = once(c, x1, w0, b0, w1, b1, p0)
+                return (c + 1e-6 * out[:, :D0], acc + (out ** 2).sum()), ()
+            (_, acc), _ = jax.lax.scan(body, (x0, 0.0), None, length=iters)
+            return acc
+        return jax.jit(jax.grad(loss, argnums=(2, 4)))
 
-    gu = jax.jit(jax.grad(lambda a: loss_u(a)))
-    gf = jax.jit(jax.grad(lambda a: loss_f(a)))
     args = (x0, x1, w0, b0, w1, b1, p0)
+    print(f"block B={B} D1={D1} E={E} iters={iters}", file=sys.stderr,
+          flush=True)
 
-    row = {"B": B, "D0": D0, "D1": D1, "E": E,
-           "fwd_unfused_ms": round(timed(lambda *a: unfused(*args)), 3),
-           "fwd_fused_ms": round(timed(lambda *a: fused(*args)), 3),
-           "bwd_unfused_ms": round(timed(lambda *a: gu(args)[0]), 3),
-           "bwd_fused_ms": round(timed(lambda *a: gf(args)[0]), 3)}
+    def timed_loop(fn, label):
+        print(f"  compiling {label}...", file=sys.stderr, flush=True)
+        t0 = time.time()
+        out = fn(*args)
+        jax.tree.leaves(out)[0].block_until_ready()
+        print(f"  {label}: warm in {time.time() - t0:.1f}s", file=sys.stderr,
+              flush=True)
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            out = fn(*args)
+            jax.tree.leaves(out)[0].block_until_ready()
+        return (time.time() - t0) / (reps * iters) * 1e3  # ms / iteration
+
+    row = {"B": B, "D0": D0, "D1": D1, "E": E, "iters_per_call": iters,
+           "fwd_unfused_ms": round(timed_loop(fwd_loop(unfused_once),
+                                              "fwd_unfused"), 3),
+           "fwd_fused_ms": round(timed_loop(fwd_loop(fused_once),
+                                            "fwd_fused"), 3),
+           "bwd_unfused_ms": round(timed_loop(bwd_loop(unfused_once),
+                                              "bwd_unfused"), 3),
+           "bwd_fused_ms": round(timed_loop(bwd_loop(fused_once),
+                                            "bwd_fused"), 3)}
     row["fwd_speedup"] = round(row["fwd_unfused_ms"] / row["fwd_fused_ms"], 3)
     row["bwd_speedup"] = round(row["bwd_unfused_ms"] / row["bwd_fused_ms"], 3)
     print(row, flush=True)
