@@ -45,6 +45,10 @@ _PROBES = {
 }
 
 
+_RESCUE = ("from embracenet_tpu.utils import pyc_rescue; "
+           "pyc_rescue.install(); ")
+
+
 def _importable(mod: str) -> bool:
     import subprocess
     import sys
@@ -52,12 +56,26 @@ def _importable(mod: str) -> bool:
     top = mod.split(".")[0]
     if top not in _AVAILABILITY:
         probe = _PROBES.get(top, f"import {top}")
-        try:
-            rc = subprocess.run([sys.executable, "-c", probe],
-                                capture_output=True, timeout=120).returncode
-        except Exception:
-            rc = 1
-        _AVAILABILITY[top] = rc == 0
+        env = dict(os.environ,
+                   PYTHONPATH=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))))
+
+        def run(code):
+            try:
+                return subprocess.run([sys.executable, "-c", code], env=env,
+                                      capture_output=True,
+                                      timeout=120).returncode == 0
+            except Exception:
+                return False
+
+        ok = run(probe)
+        if not ok and run(_RESCUE + probe):
+            # source files unreadable but bytecode intact (disk-fault class):
+            # the rescue finder makes the oracle usable — enable it here too
+            from embracenet_tpu.utils import pyc_rescue
+            pyc_rescue.install()
+            ok = True
+        _AVAILABILITY[top] = ok
     return _AVAILABILITY[top]
 
 
