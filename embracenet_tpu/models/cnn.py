@@ -48,37 +48,60 @@ FLAT_SIZES = tuple(c * l for c, l in zip(CNN_MAX_CHANNELS, CNN_LENGTHS))
 FLAT_MAX = max(FLAT_SIZES)  # 7936 = 64 * 124
 
 
-def init(key, hp, n_classes: int = 2, head: bool = True):
-    """Per-trial init with the trial's actual fan-ins (torch parity)."""
+def fan_ins(hp, head: bool = True):
+    """Per-layer init fan-ins, the only concrete-hp input to ``init``:
+    ``[CNN_MAX_LAYERS (+3 with head: flatten width, fc1, fc2)]`` f32.  The
+    two FC fans are fixed constants but still ride the array so the traced
+    init sees every fan as runtime data — XLA's constant folding of
+    ``rsqrt(literal)`` differs from the runtime op by 1 ulp, which would
+    break jitted-vs-eager bit-identity.  See ffnn.fan_ins for why this is
+    split out."""
+    import numpy as np
+
     n_layers = int(hp["n_layers"])
     channels = [int(c) for c in hp["channels"]]
     kernels = [int(k) for k in hp["kernels"]]
-    keys = jax.random.split(key, 2 * CNN_MAX_LAYERS + 6)
-    params = {}
-    bn_state = {}
+    fans = []
     c_in_actual = CNN_IN_CHANNELS
     for i in range(CNN_MAX_LAYERS):
-        c_in_max = CNN_IN_CHANNELS if i == 0 else CNN_MAX_CHANNELS[i - 1]
-        c_out_max = CNN_MAX_CHANNELS[i]
-        fan_in = c_in_actual * kernels[i]
-        params[f"conv_w{i}"] = torch_uniform_init(
-            keys[2 * i], (c_out_max, c_in_max, CNN_MAX_KERNEL), fan_in)
-        params[f"conv_b{i}"] = torch_uniform_init(keys[2 * i + 1], (c_out_max,), fan_in)
-        bn_p, bn_s = batchnorm_init(c_out_max)
-        params[f"bn{i}"] = bn_p
-        bn_state[f"bn{i}"] = bn_s
+        fans.append(c_in_actual * kernels[i])
         if i < n_layers:
             c_in_actual = channels[i]
     if head:
-        flat_actual = channels[n_layers - 1] * CNN_LENGTHS[n_layers - 1]
+        fans.append(channels[n_layers - 1] * CNN_LENGTHS[n_layers - 1])
+        fans.extend(CNN_HEAD_FC)
+    return np.asarray(fans, np.float32)
+
+
+def init_from_fans(key, fans, n_classes: int = 2, head: bool = True):
+    """Traceable init: ``fans`` may be a traced f32 vector (see fan_ins)."""
+    keys = jax.random.split(key, 2 * CNN_MAX_LAYERS + 6)
+    params = {}
+    bn_state = {}
+    for i in range(CNN_MAX_LAYERS):
+        c_in_max = CNN_IN_CHANNELS if i == 0 else CNN_MAX_CHANNELS[i - 1]
+        c_out_max = CNN_MAX_CHANNELS[i]
+        params[f"conv_w{i}"] = torch_uniform_init(
+            keys[2 * i], (c_out_max, c_in_max, CNN_MAX_KERNEL), fans[i])
+        params[f"conv_b{i}"] = torch_uniform_init(keys[2 * i + 1], (c_out_max,),
+                                                  fans[i])
+        bn_p, bn_s = batchnorm_init(c_out_max)
+        params[f"bn{i}"] = bn_p
+        bn_state[f"bn{i}"] = bn_s
+    if head:
         f1, f2 = CNN_HEAD_FC
-        params["w_fc1"] = torch_uniform_init(keys[-6], (FLAT_MAX, f1), flat_actual)
-        params["b_fc1"] = torch_uniform_init(keys[-5], (f1,), flat_actual)
-        params["w_fc2"] = torch_uniform_init(keys[-4], (f1, f2), f1)
-        params["b_fc2"] = torch_uniform_init(keys[-3], (f2,), f1)
-        params["w_head"] = torch_uniform_init(keys[-2], (f2, n_classes), f2)
-        params["b_head"] = torch_uniform_init(keys[-1], (n_classes,), f2)
+        params["w_fc1"] = torch_uniform_init(keys[-6], (FLAT_MAX, f1), fans[-3])
+        params["b_fc1"] = torch_uniform_init(keys[-5], (f1,), fans[-3])
+        params["w_fc2"] = torch_uniform_init(keys[-4], (f1, f2), fans[-2])
+        params["b_fc2"] = torch_uniform_init(keys[-3], (f2,), fans[-2])
+        params["w_head"] = torch_uniform_init(keys[-2], (f2, n_classes), fans[-1])
+        params["b_head"] = torch_uniform_init(keys[-1], (n_classes,), fans[-1])
     return params, bn_state
+
+
+def init(key, hp, n_classes: int = 2, head: bool = True):
+    """Per-trial init with the trial's actual fan-ins (torch parity)."""
+    return init_from_fans(key, fan_ins(hp, head), n_classes, head)
 
 
 def flat_bucket(max_depth: int, max_channels: tuple | None) -> int:

@@ -30,30 +30,51 @@ CONCAT_DIM = FFNN_MAX_WIDTH + FLAT_MAX   # 256 + 7936
 P = 1024                                 # post space (max width menu)
 
 
-def init(key, hp, in_features_ffnn: int, n_classes: int = 2):
-    k_ffnn, k_cnn, k_post, k_head, k_headb = jax.random.split(key, 5)
+def fan_ins(hp, in_features_ffnn: int):
+    """Concrete init fan-ins (see ffnn.fan_ins): post chain + final fan."""
+    import numpy as np
+
     n_post = int(hp["n_post"])
     post_widths = [int(w) for w in hp["post_widths"]]
-
-    ffnn_params = ffnn_mod.init(k_ffnn, hp["ffnn"], in_features_ffnn, head=False)
-    cnn_params, bn_state = cnn_mod.init(k_cnn, hp["cnn"], head=False)
-
     ffnn_out = int(hp["ffnn"]["widths"][int(hp["ffnn"]["n_layers"]) - 1])
     cnn_depth = int(hp["cnn"]["n_layers"])
     cnn_out = int(hp["cnn"]["channels"][cnn_depth - 1]) * CNN_LENGTHS[cnn_depth - 1]
 
-    params = {"ffnn": ffnn_params, "cnn": cnn_params}
-    pk = jax.random.split(k_post, 2 * CONCAT_MAX_POST_LAYERS)
+    post = []
     fan_in = ffnn_out + cnn_out
     for i in range(CONCAT_MAX_POST_LAYERS):
-        d_in = CONCAT_DIM if i == 0 else P
-        params[f"post_w{i}"] = torch_uniform_init(pk[2 * i], (d_in, P), fan_in)
-        params[f"post_b{i}"] = torch_uniform_init(pk[2 * i + 1], (P,), fan_in)
+        post.append(fan_in)
         if i < n_post:
             fan_in = post_widths[i]
-    params["head_w"] = torch_uniform_init(k_head, (P, n_classes), fan_in)
-    params["head_b"] = torch_uniform_init(k_headb, (n_classes,), fan_in)
+    return {"ffnn": ffnn_mod.fan_ins(hp["ffnn"], in_features_ffnn, head=False),
+            "cnn": cnn_mod.fan_ins(hp["cnn"], head=False),
+            "post": np.asarray(post, np.float32),
+            "head": np.asarray(fan_in, np.float32)}
+
+
+def init_from_fans(key, fans, in_features_ffnn: int, n_classes: int = 2):
+    """Traceable init (``fans`` from fan_ins; may be traced)."""
+    k_ffnn, k_cnn, k_post, k_head, k_headb = jax.random.split(key, 5)
+    ffnn_params = ffnn_mod.init_from_fans(k_ffnn, fans["ffnn"],
+                                          in_features_ffnn, head=False)
+    cnn_params, bn_state = cnn_mod.init_from_fans(k_cnn, fans["cnn"],
+                                                  head=False)
+    params = {"ffnn": ffnn_params, "cnn": cnn_params}
+    pk = jax.random.split(k_post, 2 * CONCAT_MAX_POST_LAYERS)
+    for i in range(CONCAT_MAX_POST_LAYERS):
+        d_in = CONCAT_DIM if i == 0 else P
+        params[f"post_w{i}"] = torch_uniform_init(pk[2 * i], (d_in, P),
+                                                  fans["post"][i])
+        params[f"post_b{i}"] = torch_uniform_init(pk[2 * i + 1], (P,),
+                                                  fans["post"][i])
+    params["head_w"] = torch_uniform_init(k_head, (P, n_classes), fans["head"])
+    params["head_b"] = torch_uniform_init(k_headb, (n_classes,), fans["head"])
     return params, bn_state
+
+
+def init(key, hp, in_features_ffnn: int, n_classes: int = 2):
+    return init_from_fans(key, fan_ins(hp, in_features_ffnn),
+                          in_features_ffnn, n_classes)
 
 
 def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,

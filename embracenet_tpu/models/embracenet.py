@@ -83,41 +83,65 @@ def embrace(dockings, key, availabilities=None, selection_probabilities=None,
     return out
 
 
-def init(key, hp, in_features_ffnn: int, n_classes: int = 2):
-    """Init FFNN/CNN branches, docking layers, post MLP and head."""
-    k_ffnn, k_cnn, k_d0, k_d0b, k_d1, k_d1b, k_post, k_head, k_headb = \
-        jax.random.split(key, 9)
+def fan_ins(hp, in_features_ffnn: int):
+    """Concrete init fan-ins for the whole multimodal net (see ffnn.fan_ins):
+    a dict pytree so a population stacks leaf-wise for the jitted vmap."""
+    import numpy as np
+
     n_post = int(hp["n_post"])
     post_widths = [int(w) for w in hp["post_widths"]]
     e_size = int(hp["embrace_size"])
-
-    ffnn_params = ffnn_mod.init(k_ffnn, hp["ffnn"], in_features_ffnn, head=False)
-    cnn_params, bn_state = cnn_mod.init(k_cnn, hp["cnn"], head=False)
-
     ffnn_out = int(hp["ffnn"]["widths"][int(hp["ffnn"]["n_layers"]) - 1])
     cnn_depth = int(hp["cnn"]["n_layers"])
     cnn_out = int(hp["cnn"]["channels"][cnn_depth - 1]) * CNN_LENGTHS[cnn_depth - 1]
 
-    params = {
-        "ffnn": ffnn_params,
-        "cnn": cnn_params,
-        "dock0_w": torch_uniform_init(k_d0, (FFNN_MAX_WIDTH, E), ffnn_out),
-        "dock0_b": torch_uniform_init(k_d0b, (E,), ffnn_out),
-        "dock1_w": torch_uniform_init(k_d1, (FLAT_MAX, E), cnn_out),
-        "dock1_b": torch_uniform_init(k_d1b, (E,), cnn_out),
-    }
-    pk = jax.random.split(k_post, 2 * EMBRACE_MAX_POST_LAYERS)
+    post = []
     fan_in = e_size
     for i in range(EMBRACE_MAX_POST_LAYERS):
-        d_in = E if i == 0 else P
-        params[f"post_w{i}"] = torch_uniform_init(pk[2 * i], (d_in, P), fan_in)
-        params[f"post_b{i}"] = torch_uniform_init(pk[2 * i + 1], (P,), fan_in)
+        post.append(fan_in)
         if i < n_post:
             fan_in = post_widths[i]
     head_fan = e_size if n_post == 0 else post_widths[n_post - 1]
-    params["head_w"] = torch_uniform_init(k_head, (E + P, n_classes), head_fan)
-    params["head_b"] = torch_uniform_init(k_headb, (n_classes,), head_fan)
+    return {"ffnn": ffnn_mod.fan_ins(hp["ffnn"], in_features_ffnn, head=False),
+            "cnn": cnn_mod.fan_ins(hp["cnn"], head=False),
+            "dock": np.asarray([ffnn_out, cnn_out], np.float32),
+            "post": np.asarray(post, np.float32),
+            "head": np.asarray(head_fan, np.float32)}
+
+
+def init_from_fans(key, fans, in_features_ffnn: int, n_classes: int = 2):
+    """Traceable init (``fans`` from fan_ins; may be traced)."""
+    k_ffnn, k_cnn, k_d0, k_d0b, k_d1, k_d1b, k_post, k_head, k_headb = \
+        jax.random.split(key, 9)
+    ffnn_params = ffnn_mod.init_from_fans(k_ffnn, fans["ffnn"],
+                                          in_features_ffnn, head=False)
+    cnn_params, bn_state = cnn_mod.init_from_fans(k_cnn, fans["cnn"],
+                                                  head=False)
+    params = {
+        "ffnn": ffnn_params,
+        "cnn": cnn_params,
+        "dock0_w": torch_uniform_init(k_d0, (FFNN_MAX_WIDTH, E), fans["dock"][0]),
+        "dock0_b": torch_uniform_init(k_d0b, (E,), fans["dock"][0]),
+        "dock1_w": torch_uniform_init(k_d1, (FLAT_MAX, E), fans["dock"][1]),
+        "dock1_b": torch_uniform_init(k_d1b, (E,), fans["dock"][1]),
+    }
+    pk = jax.random.split(k_post, 2 * EMBRACE_MAX_POST_LAYERS)
+    for i in range(EMBRACE_MAX_POST_LAYERS):
+        d_in = E if i == 0 else P
+        params[f"post_w{i}"] = torch_uniform_init(pk[2 * i], (d_in, P),
+                                                  fans["post"][i])
+        params[f"post_b{i}"] = torch_uniform_init(pk[2 * i + 1], (P,),
+                                                  fans["post"][i])
+    params["head_w"] = torch_uniform_init(k_head, (E + P, n_classes),
+                                          fans["head"])
+    params["head_b"] = torch_uniform_init(k_headb, (n_classes,), fans["head"])
     return params, bn_state
+
+
+def init(key, hp, in_features_ffnn: int, n_classes: int = 2):
+    """Init FFNN/CNN branches, docking layers, post MLP and head."""
+    return init_from_fans(key, fan_ins(hp, in_features_ffnn),
+                          in_features_ffnn, n_classes)
 
 
 def apply(params, bn_state, hp, x_ffnn, x_cnn, *, train: bool = False,

@@ -32,23 +32,45 @@ from embracenet_tpu.models.layers import (
 H = FFNN_MAX_WIDTH  # 256
 
 
-def init(key, hp, in_features: int, n_classes: int = 2, head: bool = True):
-    """Per-trial parameter init with the trial's *actual* fan-ins."""
+def fan_ins(hp, in_features: int, head: bool = True):
+    """Per-layer init fan-ins (the only concrete-hp input to ``init``):
+    ``[FFNN_MAX_LAYERS (+1 with head)]`` f32.  Splitting this out lets the
+    tensor creation be traced, so a whole population initialises as ONE
+    jitted vmap instead of hundreds of eager ops (engine._pop_init)."""
+    import numpy as np
+
     n_layers = int(hp["n_layers"])
     widths = [int(w) for w in hp["widths"]]
-    keys = jax.random.split(key, 2 * (FFNN_MAX_LAYERS + 1))
-    params = {}
+    fans = []
     fan_in = in_features
     for i in range(FFNN_MAX_LAYERS):
-        d_in = in_features if i == 0 else H
-        params[f"w{i}"] = torch_uniform_init(keys[2 * i], (d_in, H), fan_in)
-        params[f"b{i}"] = torch_uniform_init(keys[2 * i + 1], (H,), fan_in)
+        fans.append(fan_in)
         if i < n_layers:
             fan_in = widths[i]
     if head:
-        params["w_head"] = torch_uniform_init(keys[-2], (H, n_classes), fan_in)
-        params["b_head"] = torch_uniform_init(keys[-1], (n_classes,), fan_in)
+        fans.append(fan_in)
+    return np.asarray(fans, np.float32)
+
+
+def init_from_fans(key, fans, in_features: int, n_classes: int = 2,
+                   head: bool = True):
+    """Traceable init: ``fans`` may be a traced f32 vector (see fan_ins)."""
+    keys = jax.random.split(key, 2 * (FFNN_MAX_LAYERS + 1))
+    params = {}
+    for i in range(FFNN_MAX_LAYERS):
+        d_in = in_features if i == 0 else H
+        params[f"w{i}"] = torch_uniform_init(keys[2 * i], (d_in, H), fans[i])
+        params[f"b{i}"] = torch_uniform_init(keys[2 * i + 1], (H,), fans[i])
+    if head:
+        params["w_head"] = torch_uniform_init(keys[-2], (H, n_classes), fans[-1])
+        params["b_head"] = torch_uniform_init(keys[-1], (n_classes,), fans[-1])
     return params
+
+
+def init(key, hp, in_features: int, n_classes: int = 2, head: bool = True):
+    """Per-trial parameter init with the trial's *actual* fan-ins."""
+    return init_from_fans(key, fan_ins(hp, in_features, head), in_features,
+                          n_classes, head)
 
 
 def features(params, hp, x, *, train: bool = False, key=None,

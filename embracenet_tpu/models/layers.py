@@ -32,7 +32,10 @@ from jax import lax
 
 def torch_uniform_init(key, shape, fan_in):
     """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch Linear/Conv1d default."""
-    bound = 1.0 / jnp.sqrt(jnp.maximum(jnp.asarray(fan_in, jnp.float32), 1.0))
+    # lax.rsqrt, not 1/sqrt: XLA rewrites the latter to rsqrt under jit but
+    # not eagerly, so the two paths would differ by 1 ulp on non-power-of-two
+    # fans (population init must be bit-identical jitted vs eager).
+    bound = jax.lax.rsqrt(jnp.maximum(jnp.asarray(fan_in, jnp.float32), 1.0))
     return jax.random.uniform(key, shape, jnp.float32, -1.0, 1.0) * bound
 
 

@@ -23,6 +23,9 @@ Sharding: ``fit(..., mesh=...)`` places the population over the mesh's
 from __future__ import annotations
 
 import dataclasses
+import os
+import sys
+import time
 from typing import Any
 
 import jax
@@ -92,6 +95,22 @@ def stack_trials(trees):
 
 
 _EPOCH_FN_CACHE: dict = {}
+
+#: jitted optimizer-state init — one device program instead of an eager
+#: zeros dispatch per parameter leaf (remote-dispatch rigs pay link latency
+#: per eager op)
+_opt_init_jit = jax.jit(jax.vmap(optim.init_state))
+
+_POP_INIT_CACHE: dict = {}
+
+
+def _pop_init(spec: ModelSpec):
+    """Jitted vmapped population init, cached per spec (the XLA-CPU compile
+    is local and fast; on-accelerator it rides the persistent cache)."""
+    k = id(spec)
+    if k not in _POP_INIT_CACHE:
+        _POP_INIT_CACHE[k] = jax.jit(jax.vmap(spec.init_traced))
+    return _POP_INIT_CACHE[k]
 
 
 def _epoch_fns_cached(spec: ModelSpec, cfg: TrainConfig, compute_dtype,
@@ -234,6 +253,47 @@ def _make_epoch_fns(spec: ModelSpec, cfg: TrainConfig, compute_dtype, statics=No
     return chunk_fn
 
 
+class _SectionTimer:
+    """Prints per-section wall times when EMBRACENET_FIT_TIMING=1 (perf
+    forensics for remote-dispatch rigs); no-op otherwise."""
+
+    def __init__(self):
+        self.on = os.environ.get("EMBRACENET_FIT_TIMING") == "1"
+        self.t = time.perf_counter() if self.on else 0.0
+
+    def __call__(self, label):
+        if self.on:
+            now = time.perf_counter()
+            print(f"[fit-timing] {label}: {now - self.t:.3f}s",
+                  file=sys.stderr)
+            self.t = now
+
+
+def _host_cpu_scope():
+    """Context that routes uncommitted eager ops to the host CPU backend
+    (EMBRACENET_HOST_INIT=0 disables; on pure-CPU rigs it is a no-op)."""
+    import contextlib
+
+    if os.environ.get("EMBRACENET_HOST_INIT", "1") != "1":
+        return contextlib.nullcontext()
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
+
+def _to_host(x):
+    """Move an array to the host CPU backend (no-op if already there)."""
+    if os.environ.get("EMBRACENET_HOST_INIT", "1") != "1":
+        return x
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return x
+    return jax.device_put(x, cpu)
+
+
 def _bucket(n: int, m: int) -> int:
     return -(-n // m) * m
 
@@ -305,20 +365,36 @@ def fit(spec: ModelSpec,
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
+    _tm = _SectionTimer()
 
-    # per-trial init (host; concrete shapes), then stack for vmap
-    if init_params is None:
-        keys = jax.random.split(key, n_trials + 1)
-        key = keys[0]
-        inits = [spec.init(keys[1 + t], hp_list[t]) for t in range(n_trials)]
-        params = stack_trials([i[0] for i in inits])
-        bn_state = stack_trials([i[1] for i in inits])
-    else:
-        params, bn_state = init_params, init_bn_state
+    # Per-trial init (concrete shapes), then stack for vmap.  The init math
+    # is hundreds of tiny ops — on a remote-dispatch rig (TPU tunnel) each
+    # eager op pays link latency, so run them on the host CPU backend (JAX's
+    # PRNG is platform-deterministic: identical bits) and ship the stacked
+    # population to the accelerator in one transfer per leaf.
+    with _host_cpu_scope():
+        if init_params is None:
+            keys = jax.random.split(_to_host(key), n_trials + 1)
+            key = keys[0]
+            if spec.init_traced is not None:
+                # whole population in ONE jitted vmap (bit-identical to the
+                # per-trial eager path: the PRNG is functional per key, and
+                # fan-ins enter only as traced scale factors)
+                fans = [spec.fan_ins(h) for h in hp_list]
+                fans = jax.tree.map(lambda *xs: np.stack(xs), *fans)
+                params, bn_state = _pop_init(spec)(keys[1:], fans)
+            else:
+                inits = [spec.init(keys[1 + t], hp_list[t])
+                         for t in range(n_trials)]
+                params = stack_trials([i[0] for i in inits])
+                bn_state = stack_trials([i[1] for i in inits])
+        else:
+            params, bn_state = init_params, init_bn_state
 
-    hp = stack_trials(hp_list)
-    opt_hp = stack_trials([{k: np.asarray(v) for k, v in o.items()}
-                           for o in opt_list])
+        hp = stack_trials(hp_list)
+        opt_hp = stack_trials([{k: np.asarray(v) for k, v in o.items()}
+                               for o in opt_list])
+    _tm("init+stack")
 
     st = shape_targets or {}
     train_data = _device_data(data_train, spec,
@@ -329,6 +405,7 @@ def fit(spec: ModelSpec,
     plan = balanced_plan(y_train, cfg.batch_size, seed=123)
     tplan = eval_plan(len(np.asarray(data_test["y"])), cfg.batch_size * 2,
                       seed=123)
+    _tm("device-data+plans")
 
     statics = spec.statics(hp_list) if spec.statics else {}
     _WIDTH_KEYS = ("cnn_max_channels", "cnn_max_kernels", "ffnn_max_width",
@@ -359,7 +436,19 @@ def fit(spec: ModelSpec,
     if shrunk:
         params, bn_state = slicing.shrink(spec.name, params, bn_state,
                                           statics)
-    opt_state = jax.vmap(optim.init_state)(params)
+    _tm("shrink")
+    if mesh is None:
+        # One bulk transfer of the (bucket-shaped) population to the chip;
+        # everything after this touches full leaves, not tiny eager ops.
+        dev = jax.devices()[0]
+        params = jax.device_put(params, dev)
+        bn_state = jax.device_put(bn_state, dev)
+        hp = jax.device_put(hp, dev)
+        opt_hp = jax.device_put(opt_hp, dev)
+        key = jax.device_put(key, dev)
+        _tm("population-transfer")
+    opt_state = _opt_init_jit(params)
+    _tm("opt-init")
     chunk_fn = _epoch_fns_cached(spec, cfg, compute_dtype, statics)
     plan_idx, plan_mask = map(jnp.asarray, _pad_plan(
         plan, batch_target=st.get("train_batches"),
@@ -450,6 +539,7 @@ def fit(spec: ModelSpec,
                     tplan_idx, mesh, P(None, None, "data"))
                 tplan_mask = global_from_host_local(
                     tplan_mask, mesh, P(None, None, "data"))
+        _tm(f"pre-chunk@{epochs_done}")
         (params, bn_state, opt_state, trial_keys, es), outs = chunk_fn(
             params, bn_state, opt_state, trial_keys, es, hp, opt_hp,
             train_data, plan_idx, plan_mask,
@@ -464,6 +554,7 @@ def fit(spec: ModelSpec,
                 lambda a: multihost_utils.process_allgather(a, tiled=True),
                 outs)
         _, tr_sum, te_sum, f1_sum, stopped_seq = map(np.asarray, outs)
+        _tm(f"chunk+fetch@{epochs_done}")
         auprc_tr = tr_sum / plan.metric_divisor       # [T, n_ep]
         auprc_te = te_sum / divisor
         f1 = f1_sum / divisor                         # [T, n_ep, 3]
@@ -492,6 +583,7 @@ def fit(spec: ModelSpec,
 
     if shrunk:
         params, bn_state = slicing.grow(spec.name, params, bn_state, statics)
+    _tm("grow+return")
     return FitResult(
         params=params,
         bn_state=bn_state,

@@ -32,6 +32,10 @@ class ModelSpec:
     statics: Callable = None   # hp_list -> dict of static compile knobs
     vmappable: bool = True     # False: shapes vary per trial; HPO runs
     #                            trials sequentially (e.g. CNN_LSTM)
+    fan_ins: Callable = None   # hp_concrete -> fan-in pytree (concrete)
+    init_traced: Callable = None  # (key, fans) -> (params, bn_state);
+    #                               fans may be traced -> population init is
+    #                               one jitted vmap (engine._pop_init)
 
 
 def _cnn_statics(hp_list, key="cnn"):
@@ -106,7 +110,11 @@ def _build_spec(model: str, in_features_ffnn: int | None = None) -> ModelSpec:
 
         return ModelSpec(model, ("ffnn",), init, apply,
                          lambda hps: {"ffnn_max_width":
-                                      _ffnn_width(hps, key=None)})
+                                      _ffnn_width(hps, key=None)},
+                         fan_ins=lambda hp: ffnn.fan_ins(hp, in_features_ffnn),
+                         init_traced=lambda key, fans: (
+                             ffnn.init_from_fans(key, fans, in_features_ffnn),
+                             {}))
 
     if model == "CNN":
         def init(key, hp):
@@ -123,7 +131,9 @@ def _build_spec(model: str, in_features_ffnn: int | None = None) -> ModelSpec:
                              max_kernels=st.get("cnn_max_kernels"))
 
         return ModelSpec(model, ("cnn",), init, apply,
-                         lambda hps: _cnn_statics(hps, key=None))
+                         lambda hps: _cnn_statics(hps, key=None),
+                         fan_ins=lambda hp: cnn.fan_ins(hp),
+                         init_traced=cnn.init_from_fans)
 
     if model == "EmbraceNetMultimodal":
         def init(key, hp):
@@ -151,7 +161,11 @@ def _build_spec(model: str, in_features_ffnn: int | None = None) -> ModelSpec:
             out["post_max"] = _post_width(hps, "post_widths")
             return out
 
-        return ModelSpec(model, ("ffnn", "cnn"), init, apply, statics)
+        return ModelSpec(model, ("ffnn", "cnn"), init, apply, statics,
+                         fan_ins=lambda hp: embracenet.fan_ins(
+                             hp, in_features_ffnn),
+                         init_traced=lambda key, fans: embracenet.init_from_fans(
+                             key, fans, in_features_ffnn))
 
     if model == "ConcatNetMultimodal":
         def init(key, hp):
@@ -176,7 +190,11 @@ def _build_spec(model: str, in_features_ffnn: int | None = None) -> ModelSpec:
             out["post_max"] = _post_width(hps, "post_widths")
             return out
 
-        return ModelSpec(model, ("ffnn", "cnn"), init, apply, statics)
+        return ModelSpec(model, ("ffnn", "cnn"), init, apply, statics,
+                         fan_ins=lambda hp: concatnet.fan_ins(
+                             hp, in_features_ffnn),
+                         init_traced=lambda key, fans: concatnet.init_from_fans(
+                             key, fans, in_features_ffnn))
 
     if model == "CNN_LSTM":
         def _arch(hp):
