@@ -35,7 +35,7 @@ def _cv_cfg(args):
     from embracenet_tpu.config import CVConfig
 
     return CVConfig(n_folds=args.folds, n_trials=args.trials,
-                    sampler=args.sampler)
+                    sampler=args.sampler, fuse_folds=args.fuse_folds)
 
 
 def main(argv=None):
@@ -67,6 +67,11 @@ def main(argv=None):
                             "FLOPs; more compiled variants)")
         p.add_argument("--fused-embrace", action="store_true",
                        help="Pallas fused docking+embracement kernel (TPU)")
+        p.add_argument("--fuse-folds", action="store_true",
+                       help="train all CV folds' HPO populations (and all "
+                            "retrains) as single fused programs — 2 device "
+                            "programs per CV instead of 2*folds, and an "
+                            "n_folds-times-wider trial axis for the mesh")
         p.add_argument("--eval-reshuffle", action="store_true",
                        help="strict parity: reshuffle eval batches every "
                             "epoch like the reference's test DataLoader")

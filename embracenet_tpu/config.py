@@ -132,6 +132,13 @@ class CVConfig:
     #                                 program compile+load — measured slower
     #                                 on this setup (962s vs 642s for the
     #                                 7-cell sweep), so off by default
+    fuse_folds: bool = False        # train ALL folds' HPO populations (and
+    #                                 all retrains) as single fused vmapped
+    #                                 programs over fold-concatenated data:
+    #                                 2 device programs per CV instead of
+    #                                 2*n_folds, and a 3x wider trial axis
+    #                                 for the mesh to shard.  Per-trial RNG
+    #                                 is pinned to the sequential streams
 
 
 @dataclasses.dataclass(frozen=True)

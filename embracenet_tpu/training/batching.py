@@ -61,6 +61,15 @@ def balanced_plan(y: np.ndarray, batch_size: int, seed: int = 123) -> BatchPlan:
     return BatchPlan(idx=idx, mask=mask, metric_divisor=n_batches)
 
 
+def shift_plan(plan: BatchPlan, offset: int) -> BatchPlan:
+    """The same plan indexing rows ``offset`` deeper into a concatenated
+    dataset (fold-fused populations train several CV folds in one program;
+    each fold's plan addresses its own row range).  Masked padding slots
+    shift too — they point at the fold's row 0 and stay masked."""
+    return BatchPlan(idx=(plan.idx + np.int32(offset)).astype(np.int32),
+                     mask=plan.mask, metric_divisor=plan.metric_divisor)
+
+
 def eval_plan(n: int, batch_size: int, seed: int = 123) -> BatchPlan:
     """Shuffled fixed-size batching (reference test loader:
     ``DataLoader(batch_size=batch_size*2, shuffle=True)``,

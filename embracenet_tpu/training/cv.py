@@ -130,6 +130,18 @@ class KfoldCV:
         avg_score = []
 
         folds = kfold_split(n, cv_cfg.n_folds, random_state)
+
+        if (cv_cfg.fuse_folds and spec.vmappable
+                and not train_cfg.eval_reshuffle
+                and not hasattr(cv_cfg.sampler, "sample")):
+            return self._call_fused(
+                data, model, spec, views, folds, y,
+                cv_cfg=cv_cfg, train_cfg=train_cfg, study_name=study_name,
+                storage=storage, checkpoint_dir=checkpoint_dir,
+                test_model_path=test_model_path, random_state=random_state,
+                resume=resume, verbose=verbose, cell_line=cell_line,
+                task=task)
+
         for i, (train_index, test_index) in enumerate(folds):
             fold = i + 1
             if verbose:
@@ -275,6 +287,190 @@ class KfoldCV:
                     os.path.join(checkpoint_dir, test_model_path),
                     {"params": trial0_tree[0], "bn_state": trial0_tree[1]},
                     meta={"model_params": search.best_params,
+                          "model": model, "cell_line": cell_line,
+                          "task": task, "fold": fold})
+
+        avg = float(np.round(sum(avg_score) / cv_cfg.n_folds, 5))
+        self.scores_dict["average_CV_AUPRC"] = avg
+        if verbose:
+            print(f"{cv_cfg.n_folds}-fold CV AUPRC: {avg}")
+        return dict(self.scores_dict)
+
+    def _call_fused(self, data, model, spec, views, folds, y, *,
+                    cv_cfg, train_cfg, study_name, storage, checkpoint_dir,
+                    test_model_path, random_state, resume, verbose,
+                    cell_line, task):
+        """All folds' HPO searches, then all folds' retrains, as two fused
+        vmapped populations (engine per-trial plans over fold-concatenated
+        data).  Scores, study accounting, checkpoints and the reference
+        filename protocol are identical to the sequential path; per-trial
+        RNG streams are pinned to the (unbucketed) sequential ones via
+        ``engine.key_streams``, so the results match it bit-for-bit up to
+        XLA batching.  2 device programs per CV instead of 2 * n_folds, and
+        the trial axis grows n_folds-wide for the mesh to shard."""
+        import warnings
+
+        from embracenet_tpu.hpo.search import (concat_fold_views,
+                                               run_search_fused)
+        from embracenet_tpu.training.batching import shift_plan
+        from embracenet_tpu.training.checkpoint import load_checkpoint
+
+        n_trials = cv_cfg.n_trials
+        resumed: dict[int, float] = {}      # fold -> (final_test)
+        resumed_train: dict[int, float] = {}
+        pending = []   # (fold, train_d, val_d, trainval_d, test_d)
+        for i, (train_index, test_index) in enumerate(folds):
+            fold = i + 1
+            fold_ck = os.path.join(checkpoint_dir,
+                                   f"{study_name}_fold{fold}_result")
+            if resume and os.path.exists(fold_ck + ".npz"):
+                trees, meta = load_checkpoint(fold_ck)
+                self.scores_dict[f"iteration_n_{fold}"] = meta["scores"]
+                resumed[fold] = meta["scores"]["AUPRC_test"][-1]
+                resumed_train[fold] = meta["scores"]["AUPRC_train"][-1]
+                self.best_params[fold] = meta["best_params"]
+                if verbose:
+                    print(f"fold {fold}: resumed "
+                          f"(test AUPRC {resumed[fold]:.4f})")
+                continue
+            tr_idx, val_idx = train_test_split(
+                train_index, test_size=1 / cv_cfg.n_folds,
+                random_state=random_state)
+
+            def view_slice(idx):
+                d = {v: np.asarray(data[v])[idx] for v in views}
+                d["y"] = y[idx]
+                return d
+
+            train_d = rebalance_views(view_slice(tr_idx), views,
+                                      cv_cfg.type_augm_genfeatures,
+                                      train_cfg.rebalance_threshold,
+                                      augmentation=cv_cfg.augmentation)
+            val_d = view_slice(val_idx)
+            trainval_d = rebalance_views(view_slice(train_index), views,
+                                         cv_cfg.type_augm_genfeatures,
+                                         train_cfg.rebalance_threshold,
+                                         augmentation=cv_cfg.augmentation)
+            test_d = view_slice(test_index)
+            pending.append((fold, train_d, val_d, trainval_d, test_d))
+
+        fold_final: dict[int, tuple] = {}   # fold -> (test, train)
+        if pending:
+            searches = run_search_fused(
+                spec, model,
+                [(p[1], p[2]) for p in pending],
+                study_names=[f"{study_name}_{p[0]}" for p in pending],
+                seeds=[random_state + p[0] for p in pending],
+                storage=storage, sampler=cv_cfg.sampler, n_trials=n_trials,
+                train_cfg=train_cfg, checkpoint_dir=checkpoint_dir,
+                verbose=verbose)
+
+            # ---- fused retrain: one population over all pending folds ----
+            n_rep = (n_trials if cv_cfg.share_programs else 1)
+            cat_tr, off_tr = concat_fold_views([p[3] for p in pending],
+                                               tuple(views) + ("y",))
+            cat_te, off_te = concat_fold_views([p[4] for p in pending],
+                                               tuple(views) + ("y",))
+            hp_list, opt_list, init_trees, run_keys = [], [], [], []
+            train_plans, eval_plans = [], []
+            for j, (fold, train_d, val_d, trainval_d, test_d) in \
+                    enumerate(pending):
+                search = searches[j]
+                hp = space_mod.params_to_hp(model, search.best_params)
+                opt = space_mod.optimizer_hp(search.best_params)
+                tp = shift_plan(balanced_plan(np.asarray(trainval_d["y"]),
+                                              train_cfg.batch_size, seed=123),
+                                off_tr[j])
+                ep = shift_plan(eval_plan(len(np.asarray(test_d["y"])),
+                                          train_cfg.batch_size * 2, seed=123),
+                                off_te[j])
+                fold_key = jax.random.PRNGKey(random_state + 200 + fold)
+                if search.best_model is not None:
+                    # weight_reset: fresh Linear/Conv, keep trained BN
+                    for r in range(n_rep):
+                        init_trees.append(engine.weight_reset(
+                            jax.random.PRNGKey(
+                                random_state + 100 + fold + 1000 * r),
+                            spec, hp, search.best_model[0],
+                            search.best_model[1]))
+                    rks = jax.random.split(fold_key, n_rep)
+                else:
+                    warnings.warn(
+                        f"{study_name} fold {fold}: best-trial checkpoint "
+                        "missing; retraining from a fresh init (the "
+                        "reference's weight_reset would have kept "
+                        "HPO-trained BatchNorm state)", RuntimeWarning,
+                        stacklevel=2)
+                    iks, rks = engine.key_streams(fold_key, n_rep)
+                    for r in range(n_rep):
+                        init_trees.append(spec.init(iks[r], hp))
+                for r in range(n_rep):
+                    hp_list.append(hp)
+                    opt_list.append(opt)
+                    run_keys.append(np.asarray(rks[r]))
+                    train_plans.append(tp)
+                    eval_plans.append(ep)
+
+            result = engine.fit(
+                spec, hp_list, opt_list, cat_tr, cat_te, train_cfg,
+                init_params=engine.stack_trials(
+                    [t[0] for t in init_trees]),
+                init_bn_state=engine.stack_trials(
+                    [t[1] for t in init_trees]),
+                verbose=verbose, train_plans=train_plans,
+                eval_plans=eval_plans, run_keys=np.stack(run_keys))
+
+            for j, (fold, *_rest) in enumerate(pending):
+                base = j * n_rep
+                search = searches[j]
+                fold_scores = {
+                    "AUPRC_train": result.auprc_train[base],
+                    "AUPRC_test": result.auprc_test[base],
+                    "F1_precision_recall": result.f1_precision_recall[base],
+                }
+                self.scores_dict[f"iteration_n_{fold}"] = fold_scores
+                trial0_tree = jax.tree.map(
+                    lambda a: np.asarray(a)[base],
+                    (result.params, result.bn_state))
+                fold_ck = os.path.join(checkpoint_dir,
+                                       f"{study_name}_fold{fold}_result")
+                save_checkpoint(fold_ck,
+                                {"params": trial0_tree[0],
+                                 "bn_state": trial0_tree[1]},
+                                meta={"scores": fold_scores,
+                                      "best_params": search.best_params,
+                                      "model": model, "model_params":
+                                      search.best_params})
+                fold_final[fold] = (result.final_test_auprc[base],
+                                    result.final_train_auprc[base],
+                                    trial0_tree, search.best_params)
+                if verbose:
+                    print(f"fold {fold} test AUPRC: "
+                          f"{fold_final[fold][0]:.4f}")
+
+        # reference score-accounting order: folds ascending; the fold-best
+        # checkpoint saves whenever a fold's score equals the running max
+        # (resumed folds raise the bar but never save)
+        avg_score = []
+        for i in range(len(folds)):
+            fold = i + 1
+            if fold in resumed:
+                self.scores_dict["final_test_AUPRC_scores"].append(
+                    resumed[fold])
+                self.scores_dict["final_train_AUPRC_scores"].append(
+                    resumed_train[fold])
+                avg_score.append(resumed[fold])
+                continue
+            final_test, final_train, trial0_tree, best_params = \
+                fold_final[fold]
+            self.scores_dict["final_test_AUPRC_scores"].append(final_test)
+            self.scores_dict["final_train_AUPRC_scores"].append(final_train)
+            avg_score.append(final_test)
+            if final_test == max(avg_score) and test_model_path:
+                save_checkpoint(
+                    os.path.join(checkpoint_dir, test_model_path),
+                    {"params": trial0_tree[0], "bn_state": trial0_tree[1]},
+                    meta={"model_params": best_params,
                           "model": model, "cell_line": cell_line,
                           "task": task, "fold": fold})
 

@@ -113,6 +113,70 @@ def _pop_init(spec: ModelSpec):
     return _POP_INIT_CACHE[k]
 
 
+def _statics_key(statics: dict) -> tuple:
+    return tuple(sorted(statics.items()))
+
+
+def _resolve_statics(spec: ModelSpec, hp_list, cfg: TrainConfig) -> dict:
+    """Static compile knobs for this population after config overrides."""
+    statics = spec.statics(hp_list) if spec.statics else {}
+    width_keys = ("cnn_max_channels", "cnn_max_kernels", "ffnn_max_width",
+                  "embrace_max", "post_max")
+    if not cfg.width_buckets:
+        # full supernet widths -> one program shape across populations
+        for k in width_keys:
+            statics.pop(k, None)
+    if cfg.cnn_full_depth and "cnn_max_depth" in statics:
+        from embracenet_tpu.config import CNN_MAX_LAYERS
+
+        statics["cnn_max_depth"] = CNN_MAX_LAYERS
+        # full depth is a program-sharing request; width slicing would
+        # reintroduce per-population shapes, so drop it too
+        for k in width_keys:
+            statics.pop(k, None)
+    if cfg.fused_embrace and spec.name == "EmbraceNetMultimodal":
+        statics["fused_embrace"] = True
+    return statics
+
+
+_POP_SETUP_CACHE: dict = {}
+
+
+def _pop_setup(spec: ModelSpec, statics: dict):
+    """init + bucket-shrink + optimizer-state init fused into ONE jitted
+    program (cached per spec/statics).  Per-leaf eager ops each pay link
+    latency on remote-dispatch rigs; one program pays it once."""
+    k = (id(spec), _statics_key(statics))
+    if k not in _POP_SETUP_CACHE:
+        from embracenet_tpu.training import slicing
+
+        shrunk = slicing.has_width_statics(statics)
+
+        def setup(keys, fans):
+            params, bn_state = jax.vmap(spec.init_traced)(keys, fans)
+            if shrunk:
+                params, bn_state = slicing.shrink(spec.name, params,
+                                                  bn_state, statics)
+            return params, bn_state, jax.vmap(optim.init_state)(params)
+
+        _POP_SETUP_CACHE[k] = jax.jit(setup)
+    return _POP_SETUP_CACHE[k]
+
+
+_GROW_CACHE: dict = {}
+
+
+def _grow_jit(name: str, statics: dict):
+    """Jitted slicing.grow (one dispatch instead of ~a pad per leaf)."""
+    k = (name, _statics_key(statics))
+    if k not in _GROW_CACHE:
+        from embracenet_tpu.training import slicing
+
+        _GROW_CACHE[k] = jax.jit(
+            lambda p, b: slicing.grow(name, p, b, statics))
+    return _GROW_CACHE[k]
+
+
 def _epoch_fns_cached(spec: ModelSpec, cfg: TrainConfig, compute_dtype,
                       statics: dict):
     """Reuse jitted epoch fns across fit() calls: jax's jit cache keys on
@@ -244,10 +308,15 @@ def _make_epoch_fns(spec: ModelSpec, cfg: TrainConfig, compute_dtype, statics=No
     # Donating the carried state (params/bn/opt/keys/es) lets XLA update the
     # population in place instead of copying ~100 MB of optimizer state per
     # device call.
+    # Batch plans and metric divisors carry a leading trial axis: normally
+    # every trial sees the same plan (broadcast on host), but fold-fused
+    # populations (training/cv.py fuse_folds) give each trial its own fold's
+    # plan, indexing a shared concatenated dataset.  The per-trial gather of
+    # ~100 data rows/batch is noise next to the parameter traffic.
     chunk_fn = jax.jit(
         jax.vmap(chunk_one,
-                 in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, None, None,
-                          None, None, None)),
+                 in_axes=(0, 0, 0, 0, 0, 0, 0, None, 0, 0, None, 0,
+                          0, 0, None)),
         static_argnums=(14,),
         donate_argnums=(0, 1, 2, 3, 4))
     return chunk_fn
@@ -339,6 +408,14 @@ def _pad_plan(plan, batch_bucket: int = 4, width_bucket: int = 16,
     return idx, mask
 
 
+def key_streams(key, n_trials: int):
+    """fit()'s per-trial key derivation, exposed so fold-fused callers can
+    reproduce a sequential fit's exact streams: (init_keys [T,..],
+    run_keys [T,..]).  Matches the default path bit-for-bit."""
+    keys = jax.random.split(key, n_trials + 1)
+    return keys[1:], jax.random.split(keys[0], n_trials)
+
+
 def fit(spec: ModelSpec,
         hp_list: list,
         opt_list: list,
@@ -351,49 +428,84 @@ def fit(spec: ModelSpec,
         verbose: bool = False,
         report_fn=None,
         mesh=None,
-        shape_targets: dict | None = None) -> FitResult:
+        shape_targets: dict | None = None,
+        train_plans: list | None = None,
+        eval_plans: list | None = None,
+        init_keys=None,
+        run_keys=None) -> FitResult:
     """Train a population of trials on one (train, test) split.
 
     ``hp_list``/``opt_list``: per-trial concrete hyperparameter dicts
     (architecture / {optimizer, lr, weight_decay}).  ``report_fn`` (optional)
     is called per epoch with (trial_idx, epoch, test_auprc) -> bool prune.
 
+    ``train_plans``/``eval_plans`` (optional): one BatchPlan per trial,
+    indexing rows of ``data_train``/``data_test`` — this is how fold-fused
+    populations train several CV folds in ONE program (each trial's plan
+    touches only its fold's rows of the concatenated dataset).  Omitted:
+    every trial trains the reference's balanced plan over the whole split.
+    ``init_keys``/``run_keys`` (optional [T] key arrays, see key_streams)
+    pin per-trial RNG streams so a fused population is bit-identical to the
+    sequential fits it replaces.
+
     Reference call shape: ``fit`` (`training_models.py:31-186`) and the HPO
     objective's epoch loop (`:284-347`) — here a single vmapped program.
     """
     n_trials = len(hp_list)
+    if train_plans is not None and cfg.eval_reshuffle:
+        raise ValueError("per-trial plans and eval_reshuffle are exclusive "
+                         "(use the sequential per-fold path for strict "
+                         "reference eval-shuffle parity)")
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
     _tm = _SectionTimer()
 
-    # Per-trial init (concrete shapes), then stack for vmap.  The init math
-    # is hundreds of tiny ops — on a remote-dispatch rig (TPU tunnel) each
-    # eager op pays link latency, so run them on the host CPU backend (JAX's
-    # PRNG is platform-deterministic: identical bits) and ship the stacked
-    # population to the accelerator in one transfer per leaf.
-    with _host_cpu_scope():
-        if init_params is None:
+    statics = _resolve_statics(spec, hp_list, cfg)
+    from embracenet_tpu.training import slicing
+
+    shrunk = slicing.has_width_statics(statics)
+
+    # Population init.  With a traceable init (spec.init_traced) the whole
+    # population inits, bucket-shrinks and builds optimizer state in ONE
+    # jitted program run directly on the accelerator: no host->device bulk
+    # transfer of the parameter population, and none of the per-leaf eager
+    # dispatches (shrink slices, device_puts, opt zeros) that each pay
+    # ~25 ms link latency on a remote-dispatch rig.  The eager fallback
+    # (CNN_LSTM-style specs) runs on the host CPU backend and ships the
+    # stacked result leaf-wise.  Under a mesh, init stays on host because
+    # global_from_host_local consumes host-local arrays.  Bit-identity
+    # traced-vs-eager is tested (tests/test_pop_init.py).
+    on_device = (init_params is None and spec.init_traced is not None
+                 and mesh is None
+                 and os.environ.get("EMBRACENET_HOST_INIT") != "1")
+    opt_state = None
+    if init_params is None:
+        if init_keys is None:
             keys = jax.random.split(_to_host(key), n_trials + 1)
             key = keys[0]
-            if spec.init_traced is not None:
-                # whole population in ONE jitted vmap (bit-identical to the
-                # per-trial eager path: the PRNG is functional per key, and
-                # fan-ins enter only as traced scale factors)
-                fans = [spec.fan_ins(h) for h in hp_list]
-                fans = jax.tree.map(lambda *xs: np.stack(xs), *fans)
-                params, bn_state = _pop_init(spec)(keys[1:], fans)
+            init_keys = keys[1:]
+        if spec.init_traced is not None:
+            fans = [spec.fan_ins(h) for h in hp_list]
+            fans = jax.tree.map(lambda *xs: np.stack(xs), *fans)
+            if on_device:
+                params, bn_state, opt_state = _pop_setup(spec, statics)(
+                    jnp.asarray(init_keys), fans)
             else:
-                inits = [spec.init(keys[1 + t], hp_list[t])
+                with _host_cpu_scope():
+                    params, bn_state = _pop_init(spec)(init_keys, fans)
+        else:
+            with _host_cpu_scope():
+                inits = [spec.init(init_keys[t], hp_list[t])
                          for t in range(n_trials)]
                 params = stack_trials([i[0] for i in inits])
                 bn_state = stack_trials([i[1] for i in inits])
-        else:
-            params, bn_state = init_params, init_bn_state
+    else:
+        params, bn_state = init_params, init_bn_state
 
-        hp = stack_trials(hp_list)
-        opt_hp = stack_trials([{k: np.asarray(v) for k, v in o.items()}
-                               for o in opt_list])
+    hp = stack_trials(hp_list)
+    opt_hp = stack_trials([{k: np.asarray(v) for k, v in o.items()}
+                           for o in opt_list])
     _tm("init+stack")
 
     st = shape_targets or {}
@@ -402,73 +514,84 @@ def fit(spec: ModelSpec,
     test_data = _device_data(data_test, spec,
                              row_bucket=max(512, st.get("eval_rows", 0)))
     y_train = np.asarray(data_train["y"])
-    plan = balanced_plan(y_train, cfg.batch_size, seed=123)
-    tplan = eval_plan(len(np.asarray(data_test["y"])), cfg.batch_size * 2,
-                      seed=123)
+    if (train_plans is None) != (eval_plans is None):
+        raise ValueError("train_plans and eval_plans go together")
+    if train_plans is None:
+        plans = [balanced_plan(y_train, cfg.batch_size, seed=123)]
+        tplans = [eval_plan(len(np.asarray(data_test["y"])),
+                            cfg.batch_size * 2, seed=123)]
+    else:
+        if len(train_plans) != n_trials or len(eval_plans) != n_trials:
+            raise ValueError("per-trial plans must match the population size")
+        plans, tplans = list(train_plans), list(eval_plans)
+
+    def _div_vec(ps):
+        d = np.asarray([p.metric_divisor for p in ps], np.float32)
+        return np.broadcast_to(d, (n_trials,)).copy() if len(ps) == 1 else d
+
+    train_div = _div_vec(plans)   # [T] host, for metric averaging
+    eval_div = _div_vec(tplans)   # [T] host+device (early-stopping score)
     _tm("device-data+plans")
-
-    statics = spec.statics(hp_list) if spec.statics else {}
-    _WIDTH_KEYS = ("cnn_max_channels", "cnn_max_kernels", "ffnn_max_width",
-                   "embrace_max", "post_max")
-    if not cfg.width_buckets:
-        # full supernet widths -> one program shape across populations
-        for k in _WIDTH_KEYS:
-            statics.pop(k, None)
-    if cfg.cnn_full_depth and "cnn_max_depth" in statics:
-        from embracenet_tpu.config import CNN_MAX_LAYERS
-
-        statics["cnn_max_depth"] = CNN_MAX_LAYERS
-        # full depth is a program-sharing request; width slicing would
-        # reintroduce per-population shapes, so drop it too
-        for k in _WIDTH_KEYS:
-            statics.pop(k, None)
-
-    if cfg.fused_embrace and spec.name == "EmbraceNetMultimodal":
-        statics["fused_embrace"] = True
 
     # Shrink params (and therefore grads + optimizer state) to the bucket
     # shapes: the apply fns' static a[:c] slices are no-ops on shrunk leaves,
     # and Adam stops paying full-supernet HBM traffic per batch.  Grown back
-    # to the stable full layout before returning.
-    from embracenet_tpu.training import slicing
-
-    shrunk = slicing.has_width_statics(statics)
-    if shrunk:
-        params, bn_state = slicing.shrink(spec.name, params, bn_state,
-                                          statics)
-    _tm("shrink")
-    if mesh is None:
-        # One bulk transfer of the (bucket-shaped) population to the chip;
-        # everything after this touches full leaves, not tiny eager ops.
-        dev = jax.devices()[0]
-        params = jax.device_put(params, dev)
-        bn_state = jax.device_put(bn_state, dev)
-        hp = jax.device_put(hp, dev)
-        opt_hp = jax.device_put(opt_hp, dev)
-        key = jax.device_put(key, dev)
-        _tm("population-transfer")
-    opt_state = _opt_init_jit(params)
+    # to the stable full layout before returning.  The on-device init path
+    # already did all of this inside its single program.
+    if not on_device:
+        if shrunk:
+            params, bn_state = slicing.shrink(spec.name, params, bn_state,
+                                              statics)
+        _tm("shrink")
+        if mesh is None:
+            # One bulk transfer of the (bucket-shaped) population to the
+            # chip; everything after this touches full leaves.
+            dev = jax.devices()[0]
+            params = jax.device_put(params, dev)
+            bn_state = jax.device_put(bn_state, dev)
+            _tm("population-transfer")
+        opt_state = _opt_init_jit(params)
     _tm("opt-init")
     chunk_fn = _epoch_fns_cached(spec, cfg, compute_dtype, statics)
-    plan_idx, plan_mask = map(jnp.asarray, _pad_plan(
-        plan, batch_target=st.get("train_batches"),
-        width_target=st.get("train_batch_width")))
-    tplan_idx, tplan_mask = map(jnp.asarray, _pad_plan(
-        tplan, batch_target=st.get("eval_batches")))
+
+    def _stack_plans(ps, batch_target=None, width_target=None):
+        """[T, nb, bw] stacked plan arrays; a single shared plan broadcasts
+        over the trial axis (same bytes once on device)."""
+        nb = max(max(p.idx.shape[0] for p in ps), batch_target or 0)
+        bw = max(max(p.idx.shape[1] for p in ps), width_target or 0)
+        padded = [_pad_plan(p, batch_target=nb, width_target=bw) for p in ps]
+        idx = np.stack([p[0] for p in padded])
+        mask = np.stack([p[1] for p in padded])
+        if idx.shape[0] == 1 and n_trials > 1:
+            idx = np.broadcast_to(idx, (n_trials,) + idx.shape[1:])
+            mask = np.broadcast_to(mask, (n_trials,) + mask.shape[1:])
+        return jnp.asarray(idx), jnp.asarray(mask)
+
+    plan_idx, plan_mask = _stack_plans(
+        plans, batch_target=st.get("train_batches"),
+        width_target=st.get("train_batch_width"))
+    tplan_idx, tplan_mask = _stack_plans(
+        tplans, batch_target=st.get("eval_batches"))
 
     n_test = len(np.asarray(data_test["y"]))
 
     def _eval_plans_for(epoch_lo: int, n_ep: int):
-        """Stacked per-epoch eval plans [n_ep, nb, bw] for eval_reshuffle
-        (reference test DataLoader shuffle=True, training_models.py:477)."""
+        """Stacked per-epoch eval plans [T, n_ep, nb, bw] for eval_reshuffle
+        (reference test DataLoader shuffle=True, training_models.py:477);
+        shared across trials, broadcast over the trial axis."""
         padded = [_pad_plan(eval_plan(n_test, cfg.batch_size * 2,
                                       seed=123 + ep),
                             batch_target=st.get("eval_batches"))
                   for ep in range(epoch_lo, epoch_lo + n_ep)]
-        return (jnp.asarray(np.stack([p[0] for p in padded])),
-                jnp.asarray(np.stack([p[1] for p in padded])))
+        idx = np.stack([p[0] for p in padded])
+        mask = np.stack([p[1] for p in padded])
+        return (jnp.asarray(np.broadcast_to(idx[None],
+                                            (n_trials,) + idx.shape)),
+                jnp.asarray(np.broadcast_to(mask[None],
+                                            (n_trials,) + mask.shape)))
 
-    trial_keys = jax.random.split(key, n_trials)
+    trial_keys = (jnp.asarray(run_keys) if run_keys is not None
+                  else jax.random.split(key, n_trials))
     # NB: construct from concrete numpy so avals are non-weak from the first
     # call — weak-typed scalars here caused a silent retrace (and a second
     # full XLA compile) on the second chunk call.
@@ -510,20 +633,25 @@ def fit(spec: ModelSpec,
         else:
             def _slc(tree):
                 return tree
-        params, bn_state, opt_state, hp, opt_hp, trial_keys, es = (
-            global_from_host_local(_slc(t), mesh, ts_spec) for t in
-            (params, bn_state, opt_state, hp, opt_hp, trial_keys, es))
+        params, bn_state, opt_state, hp, opt_hp, trial_keys, es, \
+            eval_div_dev = (
+                global_from_host_local(_slc(t), mesh, ts_spec) for t in
+                (params, bn_state, opt_state, hp, opt_hp, trial_keys, es,
+                 jnp.asarray(eval_div)))
         train_data = global_from_host_local(train_data, mesh, P())
         test_data = global_from_host_local(test_data, mesh, P())
+        # plans carry a leading trial axis (per-trial under fold fusion)
+        pspec = P(taxes if len(taxes) > 1 else taxes[0], None, "data")
         plan_idx, plan_mask, tplan_idx, tplan_mask = (
-            global_from_host_local(t, mesh, P(None, "data")) for t in
+            global_from_host_local(_slc(t), mesh, pspec) for t in
             (plan_idx, plan_mask, tplan_idx, tplan_mask))
+    else:
+        eval_div_dev = jnp.asarray(eval_div)
     pruned = [False] * n_trials
     hist_train = [[] for _ in range(n_trials)]
     hist_test = [[] for _ in range(n_trials)]
     hist_f1 = [[] for _ in range(n_trials)]
 
-    divisor = np.float32(tplan.metric_divisor)
     done = [False] * n_trials
     epochs_done = 0
     while epochs_done < cfg.num_epochs and not all(done):
@@ -535,15 +663,20 @@ def fit(spec: ModelSpec,
 
                 from embracenet_tpu.parallel.mesh import global_from_host_local
 
+                from embracenet_tpu.parallel.mesh import trial_axes
+
+                rtaxes = trial_axes(mesh)
+                rspec = P(rtaxes if len(rtaxes) > 1 else rtaxes[0],
+                          None, None, "data")
                 tplan_idx = global_from_host_local(
-                    tplan_idx, mesh, P(None, None, "data"))
+                    _slc(tplan_idx), mesh, rspec)
                 tplan_mask = global_from_host_local(
-                    tplan_mask, mesh, P(None, None, "data"))
+                    _slc(tplan_mask), mesh, rspec)
         _tm(f"pre-chunk@{epochs_done}")
         (params, bn_state, opt_state, trial_keys, es), outs = chunk_fn(
             params, bn_state, opt_state, trial_keys, es, hp, opt_hp,
             train_data, plan_idx, plan_mask,
-            test_data, tplan_idx, tplan_mask, divisor, n_ep)
+            test_data, tplan_idx, tplan_mask, eval_div_dev, n_ep)
         # outs: per-trial [n_ep] sequences (vmap axis leads).  On a
         # process-spanning mesh the trial axis is not fully addressable;
         # gather it so every host sees every trial's metrics.
@@ -555,9 +688,9 @@ def fit(spec: ModelSpec,
                 outs)
         _, tr_sum, te_sum, f1_sum, stopped_seq = map(np.asarray, outs)
         _tm(f"chunk+fetch@{epochs_done}")
-        auprc_tr = tr_sum / plan.metric_divisor       # [T, n_ep]
-        auprc_te = te_sum / divisor
-        f1 = f1_sum / divisor                         # [T, n_ep, 3]
+        auprc_tr = tr_sum / train_div[:, None]        # [T, n_ep]
+        auprc_te = te_sum / eval_div[:, None]
+        f1 = f1_sum / eval_div[:, None, None]         # [T, n_ep, 3]
 
         for e in range(n_ep):
             epoch = epochs_done + e + 1
@@ -582,7 +715,7 @@ def fit(spec: ModelSpec,
         epochs_done += n_ep
 
     if shrunk:
-        params, bn_state = slicing.grow(spec.name, params, bn_state, statics)
+        params, bn_state = _grow_jit(spec.name, statics)(params, bn_state)
     _tm("grow+return")
     return FitResult(
         params=params,

@@ -62,6 +62,10 @@ def main():
                     help="per-population width-sliced programs (min FLOPs; "
                          "more program variants — best with a warm compile "
                          "cache) instead of one shared full-size program")
+    ap.add_argument("--fuse-folds", action="store_true",
+                    help="all folds' HPO (and retrains) as single fused "
+                         "vmapped programs — fewer dispatches, wider trial "
+                         "axis")
     args = ap.parse_args()
 
     cells = CELL_LINES[:args.cells]
@@ -76,7 +80,7 @@ def main():
         width_buckets=args.width_buckets,
         pad_ffnn_features=args.features)
     cv_cfg = CVConfig(n_folds=args.folds, n_trials=args.trials,
-                      sampler="TPE")
+                      sampler="TPE", fuse_folds=args.fuse_folds)
 
     t0 = time.time()
     results = sweep.run_sweep(
