@@ -50,7 +50,7 @@ sys.path.insert(0, os.path.join(REPO, "tools", "ref_shims"))
 sys.path.insert(0, "/root/reference")
 sys.path.insert(0, REPO)
 
-RESULT_PATH = os.path.join(REPO, "PARITY_r2.json")
+RESULT_PATH = os.path.join(REPO, "PARITY_r3.json")
 SCRATCH = os.path.join(REPO, "artifacts", "parity_scratch")
 
 # ---------------------------------------------------------------------------
@@ -165,7 +165,7 @@ class _StubPipeline:
 
 
 def run_reference(cell, task, model_name, X_tab, fa, y, num_epochs, seed,
-                  scratch, log_fh):
+                  scratch, log_fh, augmentation=False):
     """Run the reference's own Kfold_CV / Kfold_CV_Multimodal (torch CPU)."""
     import torch
 
@@ -186,6 +186,36 @@ def run_reference(cell, task, model_name, X_tab, fa, y, num_epochs, seed,
 
         tensor_compat._parity_patched = True
         torch.tensor = tensor_compat
+    if not getattr(torch.utils.data.RandomSampler.__iter__,
+                   "_parity_patched", False):
+        # torch >= 1.9 RandomSampler draws a TRAILING randperm when its
+        # iterator is exhausted (the `[:num_samples % n]` tail).  The
+        # reference zips two same-seeded shuffled loaders
+        # (`training_models_multimodal.py:168-173`) and zip() exhausts only
+        # the FIRST loader's iterator — the second never receives its final
+        # next() — so whenever len(dataset) % batch_size == 0 the two
+        # generators desync after one epoch and the reference's own
+        # target-equality assert fires at epoch 2.  The reference ran on an
+        # older torch whose __iter__ was a single randperm with no tail
+        # draw; restore that semantics so the published behavior is
+        # reproducible on modern torch.
+        def _single_randperm_iter(self):
+            n = len(self.data_source)
+            if self.generator is None:
+                seed = int(torch.empty((), dtype=torch.int64).random_().item())
+                generator = torch.Generator()
+                generator.manual_seed(seed)
+            else:
+                generator = self.generator
+            if self.replacement:  # not used by the reference
+                yield from torch.randint(
+                    high=n, size=(self.num_samples,),
+                    generator=generator).tolist()
+            else:
+                yield from torch.randperm(n, generator=generator).tolist()
+
+        _single_randperm_iter._parity_patched = True
+        torch.utils.data.RandomSampler.__iter__ = _single_randperm_iter
 
     import optuna  # the shim
     import BIOINF_tesi.data_pipe.dataprepare as ref_dp
@@ -260,6 +290,7 @@ def run_reference(cell, task, model_name, X_tab, fa, y, num_epochs, seed,
                 cv = tmm.Kfold_CV_Multimodal()
                 cv(stub, cell_line=cell, device="cpu", task=task,
                    model=getattr(ref_models, model_name),
+                   augmentation=augmentation,
                    n_folds=3, num_epochs=num_epochs, batch_size=100,
                    study_name=f"{cell}_{task}_{model_name}", sampler="TPE",
                    test_model_path="best")
@@ -279,7 +310,7 @@ def run_reference(cell, task, model_name, X_tab, fa, y, num_epochs, seed,
 # ---------------------------------------------------------------------------
 
 def run_jax(cell, task, model_name, x_tab, codes, y, num_epochs,
-            trial_params, scratch):
+            trial_params, scratch, augmentation=False):
     from embracenet_tpu.config import CVConfig, TrainConfig
     from embracenet_tpu.hpo.samplers import ReplaySampler
     from embracenet_tpu.training.cv import KfoldCV
@@ -294,7 +325,7 @@ def run_jax(cell, task, model_name, x_tab, codes, y, num_epochs,
     cv = KfoldCV()
     scores = cv(
         data, model_name, task=task, cell_line=cell,
-        cv_cfg=CVConfig(n_folds=3, n_trials=3,
+        cv_cfg=CVConfig(n_folds=3, n_trials=3, augmentation=augmentation,
                         sampler=ReplaySampler(trial_params)),
         train_cfg=TrainConfig(num_epochs=num_epochs, batch_size=100,
                               eval_reshuffle=True),
@@ -314,17 +345,35 @@ def run_jax(cell, task, model_name, x_tab, codes, y, num_epochs,
 # ---------------------------------------------------------------------------
 
 SUITES = {
-    # FFNN is cheap on torch-CPU: cover every cell on two task profiles
-    "ffnn": [("FFNN", cell, t) for cell in FEATURES for t in ("T2", "T3")],
+    # FFNN is cheap on torch-CPU: cover every cell on two task profiles,
+    # plus >= 2 combos for each remaining task (VERDICT r2 #4)
+    "ffnn": [("FFNN", cell, t) for cell in FEATURES for t in ("T2", "T3")]
+            + [("FFNN", "K562", "T1"), ("FFNN", "GM12878", "T1"),
+               ("FFNN", "K562", "T4"), ("FFNN", "H1", "T4"),
+               ("FFNN", "A549", "T5"), ("FFNN", "MCF7", "T5")],
     # conv stacks in f64 on one core are ~30x dearer: representative subset
-    "cnn": [("CNN", cell, "T3") for cell in ("K562", "H1", "A549")],
+    "cnn": [("CNN", cell, "T3") for cell in ("K562", "H1", "A549")]
+           + [("CNN", "GM12878", "T1"), ("CNN", "HEPG2", "T5")],
     "embracenet": [("EmbraceNetMultimodal", cell, "T2")
-                   for cell in ("K562", "GM12878", "MCF7")],
+                   for cell in ("K562", "GM12878", "MCF7", "H1", "A549")]
+                  + [("EmbraceNetMultimodal", "K562", "T4"),
+                     ("EmbraceNetMultimodal", "GM12878", "T5"),
+                     ("EmbraceNetMultimodal", "H1", "T1")],
     "concat": [("ConcatNetMultimodal", cell, "T2")
-               for cell in ("K562", "HEPG2")],
+               for cell in ("K562", "HEPG2")]
+              + [("ConcatNetMultimodal", "A549", "T4"),
+                 ("ConcatNetMultimodal", "MCF7", "T3")],
+    # the reference's multimodal augmentation path
+    # (training_models_multimodal.py:528-534): T1/T5-profile prevalence 0.06
+    # exercises SMOTE-augment + reverse_strand_augment rebalancing
+    "augm": [("EmbraceNetMultimodal+augm", "K562", "T2"),
+             ("EmbraceNetMultimodal+augm", "MCF7", "T5"),
+             ("EmbraceNetMultimodal+augm", "GM12878", "T1")],
 }
-SUITES["all"] = SUITES["ffnn"] + SUITES["cnn"] + SUITES["embracenet"] \
-    + SUITES["concat"]
+# multimodal first: the round's critical evidence lands even if the suite
+# is cut short by the round boundary
+SUITES["all"] = SUITES["embracenet"] + SUITES["concat"] + SUITES["augm"] \
+    + SUITES["ffnn"] + SUITES["cnn"]
 
 
 def load_results():
@@ -360,7 +409,9 @@ def save_results(res):
 
 
 def run_combo(model_name, cell, tcode, num_epochs, res, n_override=None):
-    key = f"{cell}/{tcode}/{model_name}"
+    augmentation = model_name.endswith("+augm")
+    model_name = model_name.removesuffix("+augm")
+    key = f"{cell}/{tcode}/{model_name}" + ("+augm" if augmentation else "")
     if key in res["combos"] and "delta" in res["combos"][key]:
         print(f"skip {key} (done)")
         return
@@ -382,7 +433,7 @@ def run_combo(model_name, cell, tcode, num_epochs, res, n_override=None):
         with open(os.path.join(scratch, "ref.log"), "w") as log_fh:
             ref_scores, trial_params, ref_wall = run_reference(
                 cell, task, model_name, X_tab, fa, y, num_epochs, seed,
-                scratch, log_fh)
+                scratch, log_fh, augmentation=augmentation)
     except AssertionError as e:
         # the reference's own runtime asserts (e.g. the multimodal
         # loader-alignment check, training_models_multimodal.py:173) can
@@ -400,7 +451,8 @@ def run_combo(model_name, cell, tcode, num_epochs, res, n_override=None):
           f"({ref_wall:.0f}s, {len(trial_params)} trials drawn)")
 
     jax_scores, jax_wall = run_jax(cell, task, model_name, X_tab, codes, y,
-                                   num_epochs, trial_params, scratch)
+                                   num_epochs, trial_params, scratch,
+                                   augmentation=augmentation)
     delta = jax_scores["average_CV_AUPRC"] - ref_scores["average_CV_AUPRC"]
     print(f"  jax:   avg={jax_scores['average_CV_AUPRC']:.4f} "
           f"folds={np.round(jax_scores['final_test_AUPRC_scores'], 3)} "
@@ -408,6 +460,7 @@ def run_combo(model_name, cell, tcode, num_epochs, res, n_override=None):
 
     res["combos"][key] = {
         "model": model_name, "cell": cell, "task": task, "n_rows": n,
+        "augmentation": augmentation,
         "n_features": int(X_tab.shape[1]),
         "prevalence": float((np.asarray(y) == 1).mean()),
         "num_epochs": num_epochs,
