@@ -25,6 +25,26 @@ from embracenet_tpu.training.cv import KfoldCV, checkpoint_name
 from embracenet_tpu.training.results import ResultsDict, baseline_auprc
 
 
+def resolve_mesh(mesh):
+    """Normalise a mesh argument: Mesh | MeshConfig | "auto" | None.
+
+    "auto" puts every local device on the 'trial' axis; a MeshConfig of
+    1x1 (the default) resolves to None (single-device path)."""
+    if mesh is None or hasattr(mesh, "devices"):  # None or jax Mesh
+        return mesh
+    from embracenet_tpu.parallel.mesh import make_mesh
+
+    if mesh == "auto":
+        import jax
+
+        n = len(jax.devices())
+        return make_mesh(n_trial=n, n_data=1) if n > 1 else None
+    trial, data_ax = mesh.trial_axis, mesh.data_axis  # MeshConfig
+    if trial * data_ax <= 1:
+        return None
+    return make_mesh(n_trial=trial, n_data=data_ax)
+
+
 def preprocess(task: str, root: str = "data", dataset: dict | None = None,
                cache_dir: str | None = ".embracenet_cache",
                verbose: bool = False, **kwargs) -> Pipeline:
@@ -40,9 +60,15 @@ def train(model: str, cell_line: str, task: str,
           results: ResultsDict | None = None,
           storage: str = "optuna_tuning.db",
           checkpoint_dir: str = "models",
-          random_state: int = 789, verbose: bool = False) -> dict:
+          random_state: int = 789, verbose: bool = False,
+          mesh=None) -> dict:
     """K-fold CV with per-fold HPO for one (model, cell, task); returns the
-    reference-shaped scores dict and records it into ``results`` if given."""
+    reference-shaped scores dict and records it into ``results`` if given.
+
+    ``mesh``: a ``jax.sharding.Mesh``, a ``config.MeshConfig``, or the
+    string ``"auto"`` (all local devices on the 'trial' axis).  Populations
+    shard over 'trial' and batches over 'data' (parallel/mesh.py)."""
+    mesh = resolve_mesh(mesh)
     if data is None:
         if pipeline is None:
             pipeline = preprocess(task)
@@ -59,7 +85,7 @@ def train(model: str, cell_line: str, task: str,
                 storage=storage, checkpoint_dir=checkpoint_dir,
                 test_model_path=checkpoint_name(
                     cell_line, model, task, 0, cv_cfg.augmentation),
-                random_state=random_state, verbose=verbose)
+                random_state=random_state, verbose=verbose, mesh=mesh)
     if results is not None:
         name = model + ("_augmentation" if cv_cfg.augmentation else "")
         results.update(cell_line, task, name, scores)

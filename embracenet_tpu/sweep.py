@@ -51,11 +51,17 @@ def run_sweep(pipelines: dict | None = None,
               checkpoint_dir: str = "models",
               ffnn_both_rebalancers: bool = True,
               rebalance_threshold: float = 0.1,
-              verbose: bool = True) -> ResultsDict:
+              verbose: bool = True,
+              mesh=None) -> ResultsDict:
     """Train the cells x tasks x models grid with per-fold HPO.
 
     ``pipelines``: {task: Pipeline} from :func:`preprocess_all`; or supply
     ``data_fn(cell, task) -> data dict`` for synthetic/preloaded data.
+
+    ``mesh``: Mesh | MeshConfig | "auto" (see :func:`api.resolve_mesh`) —
+    every CV in the sweep shards its HPO population and retrain over the
+    mesh's 'trial' axis (the BASELINE north-star "7-cell sweep on a v5e-8"
+    path).
 
     Mirrors the notebook policy: on tasks where the cell line is imbalanced
     (pos/neg < threshold) the FFNN is trained with both rebalancers (smote +
@@ -64,6 +70,7 @@ def run_sweep(pipelines: dict | None = None,
     ``augmentation=True`` variant.
     """
     results = ResultsDict(results_path)
+    mesh = api.resolve_mesh(mesh)
     t_start = time.time()
     for cell in cells:
         for task in tasks:
@@ -92,7 +99,8 @@ def run_sweep(pipelines: dict | None = None,
                     scores = api.train(
                         family, cell, task, data=data, cv_cfg=cfg,
                         train_cfg=train_cfg, results=None, storage=storage,
-                        checkpoint_dir=checkpoint_dir, verbose=False)
+                        checkpoint_dir=checkpoint_dir, verbose=False,
+                        mesh=mesh)
                     results.update(cell, task, name, scores)
                     results.save()
                 if len(variants) == 2:

@@ -103,10 +103,17 @@ class KfoldCV:
                  test_model_path: str | None = None,
                  random_state: int = 789,
                  resume: bool = True,
-                 verbose: bool = False):
+                 verbose: bool = False,
+                 mesh=None):
         """``data``: {"ffnn": [N,D] float, "cnn": [N,256] uint8 codes, "y"}
         (views required by ``model`` must be present).
-        Returns the scores_dict."""
+        Returns the scores_dict.
+
+        ``mesh``: a ``jax.sharding.Mesh`` (see ``parallel.mesh.make_mesh``)
+        — HPO populations and retrains shard over its 'trial' axis, batches
+        over 'data'.  With a mesh the fold-fused path is preferred when
+        eligible (3x wider trial axis = more devices busy); populations are
+        padded to the mesh width inside ``engine.fit``."""
         views = _views_for_model(model)
         for v in views:
             if v not in data:
@@ -131,7 +138,7 @@ class KfoldCV:
 
         folds = kfold_split(n, cv_cfg.n_folds, random_state)
 
-        if (cv_cfg.fuse_folds and spec.vmappable
+        if ((cv_cfg.fuse_folds or mesh is not None) and spec.vmappable
                 and not train_cfg.eval_reshuffle
                 and not hasattr(cv_cfg.sampler, "sample")):
             return self._call_fused(
@@ -140,7 +147,7 @@ class KfoldCV:
                 storage=storage, checkpoint_dir=checkpoint_dir,
                 test_model_path=test_model_path, random_state=random_state,
                 resume=resume, verbose=verbose, cell_line=cell_line,
-                task=task)
+                task=task, mesh=mesh)
 
         for i, (train_index, test_index) in enumerate(folds):
             fold = i + 1
@@ -211,14 +218,18 @@ class KfoldCV:
                 shape_targets = None
 
             # ---- hyperparameter search (vmapped population) ----
+            fit_kwargs = {}
+            if shape_targets:
+                fit_kwargs["shape_targets"] = shape_targets
+            if mesh is not None:
+                fit_kwargs["mesh"] = mesh
             search = run_search(
                 spec, model, train_d, val_d,
                 study_name=f"{study_name}_{fold}", storage=storage,
                 sampler=cv_cfg.sampler, n_trials=cv_cfg.n_trials,
                 train_cfg=train_cfg, checkpoint_dir=checkpoint_dir,
                 seed=random_state + fold, verbose=verbose,
-                fit_kwargs={"shape_targets": shape_targets}
-                if shape_targets else None)
+                fit_kwargs=fit_kwargs or None)
 
             hp = space_mod.params_to_hp(model, search.best_params)
             opt = space_mod.optimizer_hp(search.best_params)
@@ -255,7 +266,7 @@ class KfoldCV:
                                 train_cfg, key=jax.random.PRNGKey(
                                     random_state + 200 + fold),
                                 init_params=init_params, init_bn_state=init_bn,
-                                verbose=verbose,
+                                verbose=verbose, mesh=mesh,
                                 shape_targets=shape_targets)
 
             it = f"iteration_n_{fold}"
@@ -299,7 +310,7 @@ class KfoldCV:
     def _call_fused(self, data, model, spec, views, folds, y, *,
                     cv_cfg, train_cfg, study_name, storage, checkpoint_dir,
                     test_model_path, random_state, resume, verbose,
-                    cell_line, task):
+                    cell_line, task, mesh=None):
         """All folds' HPO searches, then all folds' retrains, as two fused
         vmapped populations (engine per-trial plans over fold-concatenated
         data).  Scores, study accounting, checkpoints and the reference
@@ -363,7 +374,8 @@ class KfoldCV:
                 seeds=[random_state + p[0] for p in pending],
                 storage=storage, sampler=cv_cfg.sampler, n_trials=n_trials,
                 train_cfg=train_cfg, checkpoint_dir=checkpoint_dir,
-                verbose=verbose)
+                verbose=verbose,
+                fit_kwargs={"mesh": mesh} if mesh is not None else None)
 
             # ---- fused retrain: one population over all pending folds ----
             n_rep = (n_trials if cv_cfg.share_programs else 1)
@@ -418,7 +430,8 @@ class KfoldCV:
                 init_bn_state=engine.stack_trials(
                     [t[1] for t in init_trees]),
                 verbose=verbose, train_plans=train_plans,
-                eval_plans=eval_plans, run_keys=np.stack(run_keys))
+                eval_plans=eval_plans, run_keys=np.stack(run_keys),
+                mesh=mesh)
 
             for j, (fold, *_rest) in enumerate(pending):
                 base = j * n_rep

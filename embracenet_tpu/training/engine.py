@@ -452,6 +452,42 @@ def fit(spec: ModelSpec,
     objective's epoch loop (`:284-347`) — here a single vmapped program.
     """
     n_trials = len(hp_list)
+    n_real = n_trials
+    if mesh is not None:
+        # Pad the population to a multiple of the mesh's trial-device count
+        # by replicating the last trial (same hp -> same statics, so the
+        # compiled program is unchanged); results are sliced back to the
+        # real population before returning.  This lets every caller (HPO
+        # populations of 3, fused folds of 9, ...) run on any mesh width.
+        from embracenet_tpu.parallel.mesh import trial_device_count
+        pad = (-n_trials) % trial_device_count(mesh)
+        if pad:
+            if jax.process_count() > 1:
+                raise ValueError(
+                    f"population size {n_trials} not divisible by the mesh "
+                    f"trial axes; pad the population explicitly on "
+                    f"multi-host meshes")
+            hp_list = list(hp_list) + [hp_list[-1]] * pad
+            opt_list = list(opt_list) + [opt_list[-1]] * pad
+            if train_plans is not None:
+                train_plans = list(train_plans) + [train_plans[-1]] * pad
+            if eval_plans is not None:
+                eval_plans = list(eval_plans) + [eval_plans[-1]] * pad
+
+            def _pad_rows(tree):
+                return jax.tree.map(
+                    lambda a: np.concatenate(
+                        [np.asarray(a),
+                         np.repeat(np.asarray(a)[-1:], pad, axis=0)]), tree)
+
+            if init_params is not None:
+                init_params = _pad_rows(init_params)
+                init_bn_state = _pad_rows(init_bn_state)
+            if init_keys is not None:
+                init_keys = _pad_rows(init_keys)
+            if run_keys is not None:
+                run_keys = _pad_rows(run_keys)
+            n_trials = len(hp_list)
     if train_plans is not None and cfg.eval_reshuffle:
         raise ValueError("per-trial plans and eval_reshuffle are exclusive "
                          "(use the sequential per-fold path for strict "
@@ -647,12 +683,14 @@ def fit(spec: ModelSpec,
             (plan_idx, plan_mask, tplan_idx, tplan_mask))
     else:
         eval_div_dev = jnp.asarray(eval_div)
-    pruned = [False] * n_trials
-    hist_train = [[] for _ in range(n_trials)]
-    hist_test = [[] for _ in range(n_trials)]
-    hist_f1 = [[] for _ in range(n_trials)]
+    # history / early-exit bookkeeping covers only the REAL population;
+    # mesh-padding replicas train but are never reported or returned
+    pruned = [False] * n_real
+    hist_train = [[] for _ in range(n_real)]
+    hist_test = [[] for _ in range(n_real)]
+    hist_f1 = [[] for _ in range(n_real)]
 
-    done = [False] * n_trials
+    done = [False] * n_real
     epochs_done = 0
     while epochs_done < cfg.num_epochs and not all(done):
         n_ep = min(cfg.epoch_chunk, cfg.num_epochs - epochs_done)
@@ -694,7 +732,7 @@ def fit(spec: ModelSpec,
 
         for e in range(n_ep):
             epoch = epochs_done + e + 1
-            for t in range(n_trials):
+            for t in range(n_real):
                 if done[t]:
                     continue
                 # history includes the stop epoch (the reference records the
@@ -710,12 +748,15 @@ def fit(spec: ModelSpec,
                     done[t] = True
         if verbose:
             print(f"epochs {epochs_done + 1}-{epochs_done + n_ep}: "
-                  f"test AUPRC {auprc_te[:, -1].round(4)} "
-                  f"done={sum(done)}/{n_trials}")
+                  f"test AUPRC {auprc_te[:n_real, -1].round(4)} "
+                  f"done={sum(done)}/{n_real}")
         epochs_done += n_ep
 
     if shrunk:
         params, bn_state = _grow_jit(spec.name, statics)(params, bn_state)
+    if n_real != n_trials:
+        params, bn_state = jax.tree.map(lambda a: a[:n_real],
+                                        (params, bn_state))
     _tm("grow+return")
     return FitResult(
         params=params,

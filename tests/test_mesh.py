@@ -32,7 +32,10 @@ def test_batch_sharding_splits_width():
     assert arr.addressable_shards[0].data.shape == (6, 8)
 
 
-def test_fit_mesh_requires_divisible_population(rng):
+def test_fit_mesh_pads_nondivisible_population(rng):
+    """A 3-trial population on an 8-wide trial axis is padded with replicas
+    of the last trial inside ``engine.fit``; results cover only the real
+    population and match the unsharded run."""
     from embracenet_tpu.config import TrainConfig
     from embracenet_tpu.hpo import space
     from embracenet_tpu.training import engine
@@ -42,13 +45,20 @@ def test_fit_mesh_requires_divisible_population(rng):
     data = {"ffnn": rng.normal(size=(40, 4)).astype(np.float32),
             "y": (rng.random(40) < 0.4).astype(np.int64)}
     spec = get_spec("FFNN", in_features_ffnn=4)
-    flat = space.sample_params("FFNN", rng)
-    hp = space.params_to_hp("FFNN", flat)
-    opt = space.optimizer_hp(flat)
-    with pytest.raises(ValueError):
-        engine.fit(spec, [hp] * 3, [opt] * 3, data, data,
-                   TrainConfig(num_epochs=1, epoch_chunk=1, batch_size=20),
-                   mesh=m)
+    hps, opts = [], []
+    for t in range(3):
+        flat = space.sample_params("FFNN", np.random.default_rng(t))
+        flat["dropout_l0"] = 0.0
+        hps.append(space.params_to_hp("FFNN", flat))
+        opts.append(space.optimizer_hp(flat))
+    cfg = TrainConfig(num_epochs=1, epoch_chunk=1, batch_size=20)
+    r_mesh = engine.fit(spec, hps, opts, data, data, cfg,
+                        key=jax.random.PRNGKey(3), mesh=m)
+    r_plain = engine.fit(spec, hps, opts, data, data, cfg,
+                         key=jax.random.PRNGKey(3))
+    assert len(r_mesh.final_test_auprc) == 3
+    np.testing.assert_allclose(r_mesh.final_test_auprc,
+                               r_plain.final_test_auprc, atol=1e-4)
 
 
 def test_mesh_fit_matches_unsharded(rng):
@@ -83,6 +93,51 @@ def test_mesh_fit_matches_unsharded(rng):
                                    r_plain.auprc_test[t], atol=1e-4)
         np.testing.assert_allclose(r_mesh.auprc_train[t],
                                    r_plain.auprc_train[t], atol=1e-4)
+
+
+def test_kfold_cv_mesh_matches_meshless(rng, tmp_path):
+    """Production path: KfoldCV(mesh=...) — fused folds, width buckets,
+    population padding (6 HPO trials / 3 retrains on a 4-wide trial axis) —
+    must reproduce the meshless fused run's scores."""
+    from embracenet_tpu.config import CVConfig, TrainConfig
+    from embracenet_tpu.training.cv import KfoldCV
+
+    n, d = 90, 8
+    y = (rng.random(n) < 0.3).astype(np.int64)
+    w = rng.normal(size=d)
+    data = {"ffnn": (rng.normal(size=(n, d))
+                     + np.outer(y * 2.0 - 1.0, w) * 0.8).astype(np.float32),
+            "y": y}
+    cv_cfg = CVConfig(n_folds=3, n_trials=2, sampler="random",
+                      fuse_folds=True)
+    t_cfg = TrainConfig(num_epochs=2, epoch_chunk=2, batch_size=20,
+                        width_buckets=True)
+
+    def run(mesh, sub):
+        cv = KfoldCV()
+        return cv(data, "FFNN", task="active_P_vs_inactive_P",
+                  cell_line="K562", cv_cfg=cv_cfg, train_cfg=t_cfg,
+                  storage=str(tmp_path / f"{sub}.db"),
+                  checkpoint_dir=str(tmp_path / sub),
+                  resume=False, verbose=False, mesh=mesh)
+
+    plain = run(None, "plain")
+    meshed = run(M.make_mesh(n_trial=4, n_data=2), "mesh")
+    np.testing.assert_allclose(meshed["final_test_AUPRC_scores"],
+                               plain["final_test_AUPRC_scores"], atol=5e-3)
+
+
+def test_api_resolve_mesh():
+    from embracenet_tpu.api import resolve_mesh
+    from embracenet_tpu.config import MeshConfig
+
+    assert resolve_mesh(None) is None
+    assert resolve_mesh(MeshConfig()) is None          # 1x1 -> single device
+    m = resolve_mesh(MeshConfig(trial_axis=4, data_axis=2))
+    assert dict(m.shape) == {"trial": 4, "data": 2}
+    assert resolve_mesh(m) is m                        # Mesh passes through
+    auto = resolve_mesh("auto")
+    assert auto.shape["trial"] == len(jax.devices())
 
 
 def test_make_mesh_dcn_axes():
