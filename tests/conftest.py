@@ -25,58 +25,10 @@ import pytest  # noqa: E402
 # keeps the suite green when an environment ships a broken install (import
 # raising OSError rather than ImportError).
 # ---------------------------------------------------------------------------
-_AVAILABILITY: dict = {}
-
-# Deep-import probe per oracle: a partially broken install (disk fault, bad
-# wheel) can segfault the *importing* process at C-extension load, so the
-# probe runs in a subprocess.  One flaky submodule marks the whole oracle
-# unavailable — conservative, but a half-readable oracle is worse than none.
-_PROBES = {
-    "torch": "import torch, torch.nn, torch.optim, torch.nn.functional",
-    "sklearn": ("import sklearn.metrics, sklearn.preprocessing, "
-                "sklearn.model_selection; "
-                "from sklearn.metrics import average_precision_score"),
-    "scipy": ("from scipy.stats import kruskal, ranksums, spearmanr, "
-              "wilcoxon, chi2, norm, rankdata"),
-    "pandas": "import pandas; pandas.DataFrame({'a': [1]})",
-    "matplotlib": "import matplotlib; import matplotlib.pyplot",
-    "orbax": "import orbax.checkpoint",
-    "tensorstore": "import tensorstore",
-}
-
-
-_RESCUE = ("from embracenet_tpu.utils import pyc_rescue; "
-           "pyc_rescue.install(); ")
-
-
-def _importable(mod: str) -> bool:
-    import subprocess
-    import sys
-
-    top = mod.split(".")[0]
-    if top not in _AVAILABILITY:
-        probe = _PROBES.get(top, f"import {top}")
-        env = dict(os.environ,
-                   PYTHONPATH=os.path.dirname(os.path.dirname(
-                       os.path.abspath(__file__))))
-
-        def run(code):
-            try:
-                return subprocess.run([sys.executable, "-c", code], env=env,
-                                      capture_output=True,
-                                      timeout=120).returncode == 0
-            except Exception:
-                return False
-
-        ok = run(probe)
-        if not ok and run(_RESCUE + probe):
-            # source files unreadable but bytecode intact (disk-fault class):
-            # the rescue finder makes the oracle usable — enable it here too
-            from embracenet_tpu.utils import pyc_rescue
-            pyc_rescue.install()
-            ok = True
-        _AVAILABILITY[top] = ok
-    return _AVAILABILITY[top]
+# Probe logic (subprocess deep-import + pyc-rescue fallback) lives in
+# goldens.py so oracle-backed tests share the same availability cache and
+# can fall back to committed golden fixtures when an oracle is broken.
+from goldens import oracle_available as _importable  # noqa: E402
 
 
 def _module_imports(path: str):

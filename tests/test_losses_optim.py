@@ -1,6 +1,12 @@
+"""Loss / optimizer equivalence against torch oracles.
+
+Oracle calls go through ``goldens.oracle``: live torch when importable,
+committed ``tests/goldens/*.npz`` fixtures when the install is broken
+(this VM has shipped disk-corrupted torch before)."""
+
 import numpy as np
 import pytest
-import torch
+from goldens import oracle
 
 from embracenet_tpu.ops import losses, optim
 
@@ -14,9 +20,16 @@ def test_weighted_ce_matches_torch(seed):
     target[1] = 0
 
     w_pos, w_neg = losses.ins_weights(np.asarray(target))
-    crit = torch.nn.CrossEntropyLoss(
-        weight=torch.tensor([float(w_neg), float(w_pos)]))
-    want = crit(torch.tensor(logits), torch.tensor(target)).item()
+
+    def compute():
+        import torch
+
+        crit = torch.nn.CrossEntropyLoss(
+            weight=torch.tensor([float(w_neg), float(w_pos)]))
+        return {"want": crit(torch.tensor(logits),
+                             torch.tensor(target)).item()}
+
+    want = float(oracle(f"losses_ce_seed{seed}", "torch", compute)["want"])
     got = float(losses.weighted_cross_entropy(logits, target))
     assert got == pytest.approx(want, rel=1e-5)
 
@@ -31,9 +44,11 @@ def test_weighted_ce_mask_equals_trimmed():
     assert got == pytest.approx(want, rel=1e-6)
 
 
-def _run_torch_opt(make_opt, params0, grads, steps):
+def _run_torch_opt(make_opt, params0, grads):
+    import torch
+
     p = torch.nn.Parameter(torch.tensor(params0))
-    opt = make_opt([p])
+    opt = make_opt(torch, [p])
     for g in grads:
         opt.zero_grad()
         p.grad = torch.tensor(g)
@@ -50,18 +65,22 @@ def _run_ours(opt_id, lr, wd, params0, grads):
     return np.asarray(params["w"])
 
 
-@pytest.mark.parametrize("name,opt_id", [("Adam", optim.ADAM), ("RMSprop", optim.RMSPROP)])
+@pytest.mark.parametrize("name,opt_id", [("Adam", optim.ADAM),
+                                         ("RMSprop", optim.RMSPROP)])
 def test_optimizers_match_torch(name, opt_id):
     rng = np.random.default_rng(0)
     params0 = rng.normal(size=(5,)).astype(np.float32)
     grads = [rng.normal(size=(5,)).astype(np.float32) for _ in range(7)]
     lr, wd = 1e-2, 1e-3
 
-    if name == "Adam":
-        make = lambda ps: torch.optim.Adam(ps, lr=lr, weight_decay=wd)  # noqa: E731
-    else:
-        make = lambda ps: torch.optim.RMSprop(ps, lr=lr, weight_decay=wd)  # noqa: E731
-    want = _run_torch_opt(make, params0, grads, 7)
+    def compute():
+        def make(torch, ps):
+            cls = torch.optim.Adam if name == "Adam" else torch.optim.RMSprop
+            return cls(ps, lr=lr, weight_decay=wd)
+
+        return {"want": _run_torch_opt(make, params0, grads)}
+
+    want = oracle(f"optim_{name}", "torch", compute)["want"]
     got = _run_ours(opt_id, lr, wd, params0, grads)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
 
@@ -72,9 +91,13 @@ def test_nadam_matches_torch_nadam():
     params0 = rng.normal(size=(5,)).astype(np.float32)
     grads = [rng.normal(size=(5,)).astype(np.float32) for _ in range(7)]
     lr, wd = 1e-2, 1e-3
-    want = _run_torch_opt(
-        lambda ps: torch.optim.NAdam(ps, lr=lr, weight_decay=wd,
-                                     momentum_decay=4e-3),
-        params0, grads, 7)
+
+    def compute():
+        return {"want": _run_torch_opt(
+            lambda torch, ps: torch.optim.NAdam(ps, lr=lr, weight_decay=wd,
+                                                momentum_decay=4e-3),
+            params0, grads)}
+
+    want = oracle("optim_NAdam", "torch", compute)["want"]
     got = _run_ours(optim.NADAM, lr, wd, params0, grads)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)

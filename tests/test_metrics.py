@@ -1,9 +1,13 @@
+"""Metric equivalence against sklearn oracles (argmax-AUPRC quirk included:
+reference computes average_precision_score on hard argmax predictions,
+models/utils/utils.py:82-88).
+
+Oracle calls go through ``goldens.oracle``: live sklearn when importable,
+committed ``tests/goldens/*.npz`` fixtures when the install is broken."""
+
 import numpy as np
 import pytest
-from sklearn.metrics import (
-    average_precision_score,
-    precision_recall_fscore_support,
-)
+from goldens import oracle
 
 from embracenet_tpu.ops import metrics
 
@@ -23,8 +27,16 @@ def test_auprc_argmax_matches_sklearn(seed):
     pred = (rng.random(64) < 0.4).astype(np.int64)
     if target.sum() == 0:
         target[0] = 1
-    want = average_precision_score(target, pred)
-    got = float(metrics.auprc_from_binary_pred(np.asarray(pred), np.asarray(target)))
+
+    def compute():
+        from sklearn.metrics import average_precision_score
+
+        return {"want": average_precision_score(target, pred)}
+
+    want = float(oracle(f"metrics_auprc_argmax_seed{seed}", "sklearn",
+                        compute)["want"])
+    got = float(metrics.auprc_from_binary_pred(np.asarray(pred),
+                                               np.asarray(target)))
     assert got == pytest.approx(want, abs=1e-6)
 
 
@@ -34,7 +46,14 @@ def test_auprc_argmax_degenerate_preds(pred_value):
     target = (rng.random(50) < 0.2).astype(np.int64)
     target[0] = 1
     pred = np.full(50, pred_value)
-    want = average_precision_score(target, pred)
+
+    def compute():
+        from sklearn.metrics import average_precision_score
+
+        return {"want": average_precision_score(target, pred)}
+
+    want = float(oracle(f"metrics_auprc_degen_{pred_value}", "sklearn",
+                        compute)["want"])
     got = float(metrics.auprc_from_binary_pred(pred, target))
     assert got == pytest.approx(want, abs=1e-6)
 
@@ -65,7 +84,14 @@ def test_auprc_prob_matches_sklearn(seed):
     scores = rng.random(64).astype(np.float32)
     if seed % 2:  # exercise ties
         scores = np.round(scores, 1)
-    want = average_precision_score(target, scores)
+
+    def compute():
+        from sklearn.metrics import average_precision_score
+
+        return {"want": average_precision_score(target, scores)}
+
+    want = float(oracle(f"metrics_auprc_prob_seed{seed}", "sklearn",
+                        compute)["want"])
     got = float(metrics.auprc_prob(scores, target))
     assert got == pytest.approx(want, abs=1e-5)
 
@@ -76,10 +102,16 @@ def test_f1_precision_recall_macro(seed):
     target = (rng.random(64) < 0.4).astype(np.int64)
     pred = (rng.random(64) < 0.5).astype(np.int64)
     logits = _logits_from_pred(pred)
-    want = precision_recall_fscore_support(
-        target, pred, average="macro", zero_division=0)[:3]
+
+    def compute():
+        from sklearn.metrics import precision_recall_fscore_support
+
+        return {"want": np.asarray(precision_recall_fscore_support(
+            target, pred, average="macro", zero_division=0)[:3])}
+
+    want = oracle(f"metrics_prf_seed{seed}", "sklearn", compute)["want"]
     got = np.asarray(metrics.f1_precision_recall(logits, target))
-    np.testing.assert_allclose(got, np.asarray(want), atol=1e-6)
+    np.testing.assert_allclose(got, want, atol=1e-6)
 
 
 def test_accuracy():
@@ -90,15 +122,20 @@ def test_accuracy():
 
 @pytest.mark.parametrize("seed", range(5))
 def test_auroc_matches_sklearn(seed):
-    from sklearn.metrics import roc_auc_score
-
     rng = np.random.default_rng(seed)
     target = (rng.random(64) < 0.3).astype(np.int64)
     target[0], target[1] = 1, 0
     scores = rng.random(64).astype(np.float32)
     if seed % 2:
         scores = np.round(scores, 1)  # ties
-    want = roc_auc_score(target, scores)
+
+    def compute():
+        from sklearn.metrics import roc_auc_score
+
+        return {"want": roc_auc_score(target, scores)}
+
+    want = float(oracle(f"metrics_auroc_seed{seed}", "sklearn",
+                        compute)["want"])
     got = float(metrics.auroc(scores, target))
     assert got == pytest.approx(want, abs=1e-5)
 

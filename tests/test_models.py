@@ -1,12 +1,13 @@
 """Supernet-vs-explicit equivalence: each masked supernet must compute the
 exact function of the reference architecture it encodes.  Explicit networks
-are built in torch from the same weights (eval mode)."""
+are built in torch from the same weights (eval mode); torch outputs are
+captured as committed goldens (tests/goldens/) so the equivalence asserts
+survive a broken torch install."""
 
 import jax
 import numpy as np
 import pytest
-import torch
-import torch.nn as nn
+from goldens import oracle
 
 from embracenet_tpu import config as C
 from embracenet_tpu.hpo import space
@@ -40,31 +41,36 @@ def test_ffnn_matches_explicit_mlp(n_layers, widths):
     in_features = 48
     hp = _hp_ffnn(n_layers, widths)
     params = ffnn.init(jax.random.PRNGKey(0), hp, in_features)
+    x = np.random.default_rng(0).normal(
+        size=(7, in_features)).astype(np.float32)
 
-    # explicit torch MLP with the same (sub-block) weights
-    layers = []
-    d_in = in_features
-    for i in range(n_layers):
-        w = np.asarray(params[f"w{i}"])[:d_in if i == 0 else widths[i - 1],
-                                        :widths[i]]
-        if i > 0:
-            w = np.asarray(params[f"w{i}"])[:widths[i - 1], :widths[i]]
-        else:
-            w = np.asarray(params[f"w{i}"])[:in_features, :widths[i]]
-        b = np.asarray(params[f"b{i}"])[:widths[i]]
-        lin = nn.Linear(w.shape[0], w.shape[1])
-        lin.weight.data = torch.tensor(w.T)
-        lin.bias.data = torch.tensor(b)
-        layers += [lin, nn.ReLU()]
-        d_in = widths[i]
-    head = nn.Linear(d_in, 2)
-    head.weight.data = torch.tensor(np.asarray(params["w_head"])[:d_in].T)
-    head.bias.data = torch.tensor(np.asarray(params["b_head"]))
-    layers.append(head)
-    net = nn.Sequential(*layers).eval()
+    def compute():
+        # explicit torch MLP with the same (sub-block) weights
+        import torch
+        import torch.nn as nn
 
-    x = np.random.default_rng(0).normal(size=(7, in_features)).astype(np.float32)
-    want = net(torch.tensor(x)).detach().numpy()
+        layers = []
+        d_in = in_features
+        for i in range(n_layers):
+            if i > 0:
+                w = np.asarray(params[f"w{i}"])[:widths[i - 1], :widths[i]]
+            else:
+                w = np.asarray(params[f"w{i}"])[:in_features, :widths[i]]
+            b = np.asarray(params[f"b{i}"])[:widths[i]]
+            lin = nn.Linear(w.shape[0], w.shape[1])
+            lin.weight.data = torch.tensor(w.T)
+            lin.bias.data = torch.tensor(b)
+            layers += [lin, nn.ReLU()]
+            d_in = widths[i]
+        head = nn.Linear(d_in, 2)
+        head.weight.data = torch.tensor(np.asarray(params["w_head"])[:d_in].T)
+        head.bias.data = torch.tensor(np.asarray(params["b_head"]))
+        layers.append(head)
+        net = nn.Sequential(*layers).eval()
+        return {"want": net(torch.tensor(x)).detach().numpy()}
+
+    want = oracle(f"models_ffnn_l{n_layers}_" + "-".join(map(str, widths)),
+                  "torch", compute)["want"]
     got = np.asarray(ffnn.apply(params, hp, x, train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
@@ -77,42 +83,56 @@ def test_ffnn_matches_explicit_mlp(n_layers, widths):
 def test_cnn_matches_explicit_convnet(n_layers, channels, kernels):
     hp = _hp_cnn(n_layers, channels, kernels)
     params, bn_state = cnn.init(jax.random.PRNGKey(1), hp)
-
-    blocks = []
-    c_in = 4
-    for i in range(n_layers):
-        k = kernels[i]
-        lo = (C.CNN_MAX_KERNEL - k) // 2
-        w_full = np.asarray(params[f"conv_w{i}"])
-        w = w_full[:channels[i], :c_in, lo:lo + k]
-        b = np.asarray(params[f"conv_b{i}"])[:channels[i]]
-        conv = nn.Conv1d(c_in, channels[i], kernel_size=k, padding=(k - 1) // 2)
-        conv.weight.data = torch.tensor(w)
-        conv.bias.data = torch.tensor(b)
-        bn = nn.BatchNorm1d(channels[i])
-        bn.weight.data = torch.tensor(np.asarray(params[f"bn{i}"]["scale"])[:channels[i]])
-        bn.bias.data = torch.tensor(np.asarray(params[f"bn{i}"]["bias"])[:channels[i]])
-        bn.running_mean.data = torch.tensor(np.asarray(bn_state[f"bn{i}"]["mean"])[:channels[i]])
-        bn.running_var.data = torch.tensor(np.asarray(bn_state[f"bn{i}"]["var"])[:channels[i]])
-        blocks += [conv, bn, nn.ReLU(), nn.MaxPool1d(10, 2)]
-        c_in = channels[i]
-    flat_size = channels[n_layers - 1] * CNN_LENGTHS[n_layers - 1]
-    fc1 = nn.Linear(flat_size, 1000)
-    fc1.weight.data = torch.tensor(np.asarray(params["w_fc1"])[:flat_size].T)
-    fc1.bias.data = torch.tensor(np.asarray(params["b_fc1"]))
-    fc2 = nn.Linear(1000, 64)
-    fc2.weight.data = torch.tensor(np.asarray(params["w_fc2"]).T)
-    fc2.bias.data = torch.tensor(np.asarray(params["b_fc2"]))
-    hd = nn.Linear(64, 2)
-    hd.weight.data = torch.tensor(np.asarray(params["w_head"]).T)
-    hd.bias.data = torch.tensor(np.asarray(params["b_head"]))
-
-    torch_net = nn.Sequential(*blocks).eval()
     x = np.random.default_rng(2).normal(size=(5, 4, 256)).astype(np.float32)
-    h = torch_net(torch.tensor(x))
-    h = h.reshape(h.shape[0], -1)
-    want = hd(fc2(fc1(h))).detach().numpy()  # linear head, no activations
 
+    def compute():
+        import torch
+        import torch.nn as nn
+
+        blocks = []
+        c_in = 4
+        for i in range(n_layers):
+            k = kernels[i]
+            lo = (C.CNN_MAX_KERNEL - k) // 2
+            w_full = np.asarray(params[f"conv_w{i}"])
+            w = w_full[:channels[i], :c_in, lo:lo + k]
+            b = np.asarray(params[f"conv_b{i}"])[:channels[i]]
+            conv = nn.Conv1d(c_in, channels[i], kernel_size=k,
+                             padding=(k - 1) // 2)
+            conv.weight.data = torch.tensor(w)
+            conv.bias.data = torch.tensor(b)
+            bn = nn.BatchNorm1d(channels[i])
+            bn.weight.data = torch.tensor(
+                np.asarray(params[f"bn{i}"]["scale"])[:channels[i]])
+            bn.bias.data = torch.tensor(
+                np.asarray(params[f"bn{i}"]["bias"])[:channels[i]])
+            bn.running_mean.data = torch.tensor(
+                np.asarray(bn_state[f"bn{i}"]["mean"])[:channels[i]])
+            bn.running_var.data = torch.tensor(
+                np.asarray(bn_state[f"bn{i}"]["var"])[:channels[i]])
+            blocks += [conv, bn, nn.ReLU(), nn.MaxPool1d(10, 2)]
+            c_in = channels[i]
+        flat_size = channels[n_layers - 1] * CNN_LENGTHS[n_layers - 1]
+        fc1 = nn.Linear(flat_size, 1000)
+        fc1.weight.data = torch.tensor(
+            np.asarray(params["w_fc1"])[:flat_size].T)
+        fc1.bias.data = torch.tensor(np.asarray(params["b_fc1"]))
+        fc2 = nn.Linear(1000, 64)
+        fc2.weight.data = torch.tensor(np.asarray(params["w_fc2"]).T)
+        fc2.bias.data = torch.tensor(np.asarray(params["b_fc2"]))
+        hd = nn.Linear(64, 2)
+        hd.weight.data = torch.tensor(np.asarray(params["w_head"]).T)
+        hd.bias.data = torch.tensor(np.asarray(params["b_head"]))
+
+        torch_net = nn.Sequential(*blocks).eval()
+        h = torch_net(torch.tensor(x))
+        h = h.reshape(h.shape[0], -1)
+        # linear head, no activations
+        return {"want": hd(fc2(fc1(h))).detach().numpy()}
+
+    want = oracle(
+        f"models_cnn_l{n_layers}_" + "-".join(map(str, channels))
+        + "_k" + "-".join(map(str, kernels)), "torch", compute)["want"]
     got, _ = cnn.apply(params, bn_state, hp, x, train=False)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
 

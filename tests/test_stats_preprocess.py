@@ -1,12 +1,20 @@
+"""Feature-statistics / preprocessing equivalence against scipy + sklearn
+oracles (vectorised KW / rank-sums / Spearman re-implementations,
+data_pipe quirks documented in data/stats.py).
+
+Oracle calls go through ``goldens.oracle``: live scipy/sklearn when
+importable, committed ``tests/goldens/*.npz`` fixtures when broken."""
+
 import numpy as np
 import pytest
-from scipy.stats import kruskal, ranksums, spearmanr
+from goldens import oracle
 
 from embracenet_tpu.data import preprocess, stats
 
 
 @pytest.fixture
-def xy(rng):
+def xy():
+    rng = np.random.default_rng(0)
     x = rng.normal(size=(80, 6))
     x[:, 3] = x[:, 0] * 2 + rng.normal(size=80) * 0.01  # correlated pair
     y = (rng.random(80) < 0.4).astype(np.int64)
@@ -16,27 +24,46 @@ def xy(rng):
 
 def test_kruskal_matches_scipy(xy):
     x, y = xy
+
+    def compute():
+        from scipy.stats import kruskal
+
+        return {"want": np.asarray([
+            kruskal(x[y == 1, j], x[y == 0, j])[1]
+            for j in range(x.shape[1])])}
+
+    want = oracle("stats_kruskal", "scipy", compute)["want"]
     got = stats.kruskal_pvalues(x, y)
-    for j in range(x.shape[1]):
-        _, want = kruskal(x[y == 1, j], x[y == 0, j])
-        assert got[j] == pytest.approx(want, rel=1e-9)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
 
 
 def test_ranksums_matches_scipy(xy):
     x, y = xy
+
+    def compute():
+        from scipy.stats import ranksums
+
+        return {"want": np.asarray([
+            ranksums(x[y == 1, j], x[y == 0, j])[1]
+            for j in range(x.shape[1])])}
+
+    want = oracle("stats_ranksums", "scipy", compute)["want"]
     got = stats.ranksums_pvalues(x, y)
-    for j in range(x.shape[1]):
-        _, want = ranksums(x[y == 1, j], x[y == 0, j])
-        assert got[j] == pytest.approx(want, rel=1e-9)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
 
 
 def test_spearman_matches_scipy(xy):
     x, _ = xy
+
+    def compute():
+        from scipy.stats import spearmanr
+
+        return {"want": np.asarray([[spearmanr(x[:, i], x[:, j])[0]
+                                     for j in range(6)] for i in range(6)])}
+
+    want = oracle("stats_spearman", "scipy", compute)["want"]
     got = stats.spearman_matrix(x)
-    for i in range(6):
-        for j in range(6):
-            want, _ = spearmanr(x[:, i], x[:, j])
-            assert got[i, j] == pytest.approx(want, abs=1e-12)
+    np.testing.assert_allclose(got, want, atol=1e-12)
 
 
 def test_correlated_pairs_ordering(xy):
@@ -61,10 +88,17 @@ def test_select_features_pipeline(xy):
     assert sel_x.shape[1] == len(cols) < 6
 
 
-def test_robust_minmax_matches_sklearn(rng):
-    from sklearn.preprocessing import MinMaxScaler, RobustScaler
+def test_robust_minmax_matches_sklearn():
+    rng = np.random.default_rng(0)
     x = rng.normal(size=(50, 4)) * 10
-    want = MinMaxScaler().fit_transform(RobustScaler().fit_transform(x))
+
+    def compute():
+        from sklearn.preprocessing import MinMaxScaler, RobustScaler
+
+        return {"want": MinMaxScaler().fit_transform(
+            RobustScaler().fit_transform(x))}
+
+    want = oracle("preprocess_robust_minmax", "sklearn", compute)["want"]
     got = preprocess.robust_minmax_scale(x)
     np.testing.assert_allclose(got, want, atol=1e-12)
 
