@@ -23,15 +23,14 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+from embracenet_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.enable(os.path.join(REPO, ".jax_cache"))
 
 from embracenet_tpu import api  # noqa: E402
 from embracenet_tpu.config import CVConfig, TrainConfig  # noqa: E402

@@ -490,8 +490,9 @@ def main():
     try:
         import jax
 
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(REPO, ".jax_cache"))
+        from embracenet_tpu.utils import jaxcache
+
+        jaxcache.enable(os.path.join(REPO, ".jax_cache"))
     except Exception:
         pass
 
