@@ -108,6 +108,31 @@ def block_bench(B, D0, D1, E, seed=0, iters=20):
                                             "bwd_fused"), 3)}
     row["fwd_speedup"] = round(row["fwd_unfused_ms"] / row["fwd_fused_ms"], 3)
     row["bwd_speedup"] = round(row["bwd_unfused_ms"] / row["bwd_fused_ms"], 3)
+
+    # Roofline: is "XLA fusion is already HBM-optimal" a number or a story?
+    # fwd FLOPs = two [B,Dm]x[Dm,E] matmuls; min HBM traffic = activations
+    # in (f32) + both weight panels (bf16 on the MXU path) + output (f32).
+    peak_bf16 = 197e12
+    hbm_bw = 819e9
+    flops = 2 * B * (D0 + D1) * E
+    bytes_min = 4 * B * (D0 + D1) + 2 * (D0 + D1) * E + 4 * B * E
+    t_compute = flops / peak_bf16
+    t_memory = bytes_min / hbm_bw
+    ideal_ms = max(t_compute, t_memory) * 1e3
+    row["roofline"] = {
+        "flops": flops, "bytes_min": bytes_min,
+        "arith_intensity": round(flops / bytes_min, 2),
+        "bound": "compute" if t_compute > t_memory else "memory",
+        "ideal_ms": round(ideal_ms, 4),
+        "fwd_unfused_x_ideal": round(row["fwd_unfused_ms"] / ideal_ms, 1),
+        "fwd_fused_x_ideal": round(row["fwd_fused_ms"] / ideal_ms, 1),
+    }
+    print(f"  roofline: {row['roofline']['bound']}-bound, ideal "
+          f"{ideal_ms:.3f} ms; unfused {row['fwd_unfused_ms']:.3f} ms = "
+          f"{row['roofline']['fwd_unfused_x_ideal']}x ideal, fused "
+          f"{row['fwd_fused_ms']:.3f} ms = "
+          f"{row['roofline']['fwd_fused_x_ideal']}x ideal", file=sys.stderr,
+          flush=True)
     print(row, flush=True)
     return row
 
