@@ -52,6 +52,52 @@ _BUDGET_S = float(os.environ.get("EMBRACENET_BENCH_BUDGET_S", "480"))
 _best_payload = None
 _emitted = False
 
+# ---------------------------------------------------------------------------
+# Chip eviction.  This host has ONE CPU core and ONE TPU chip behind a
+# tunnel; any concurrent chip user (a long parity suite, a stale warm run)
+# starves the bench into nonsense numbers (observed: 3 windows/s vs 76k
+# clean — that is what timed out the round-2 driver bench).  Long-running
+# tools in this repo register their PID in well-known pidfiles; the bench
+# owns the machine when the driver runs it, so it evicts them by EXACT pid
+# (never by name pattern) before measuring.
+# ---------------------------------------------------------------------------
+_PIDFILES = ("/tmp/parity.pid", "/tmp/benchwarm.pid", "/tmp/sweepbench.pid")
+
+
+def _evict_chip_users():
+    """SIGTERM (then SIGKILL after 10 s) every live pid found in _PIDFILES."""
+    me = os.getpid()
+    targets = set()
+    for pf in _PIDFILES:
+        try:
+            with open(pf) as fh:
+                targets |= {int(tok) for tok in fh.read().split()}
+        except (OSError, ValueError):
+            continue
+        try:
+            os.unlink(pf)
+        except OSError:
+            pass
+    live = [p for p in targets - {me} if os.path.exists(f"/proc/{p}")]
+    for pid in live:
+        print(f"[evict] terminating pid {pid} (registered chip/CPU user)",
+              file=sys.stderr)
+        try:
+            os.kill(pid, signal.SIGTERM)
+        except OSError:
+            pass
+    if live:
+        deadline = time.time() + 10
+        while time.time() < deadline and \
+                any(os.path.exists(f"/proc/{p}") for p in live):
+            time.sleep(0.5)
+        for pid in live:
+            if os.path.exists(f"/proc/{pid}"):
+                try:
+                    os.kill(pid, signal.SIGKILL)
+                except OSError:
+                    pass
+
 
 def _remaining():
     return _BUDGET_S - (time.time() - _T0)
@@ -344,6 +390,7 @@ def main():
                          "round 1's forced-depth-4 workload (stderr detail)")
     args = ap.parse_args()
 
+    _evict_chip_users()
     _thread_watchdog()
     rng = np.random.default_rng(0)
     d = 64

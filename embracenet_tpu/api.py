@@ -68,6 +68,13 @@ def train(model: str, cell_line: str, task: str,
     ``mesh``: a ``jax.sharding.Mesh``, a ``config.MeshConfig``, or the
     string ``"auto"`` (all local devices on the 'trial' axis).  Populations
     shard over 'trial' and batches over 'data' (parallel/mesh.py)."""
+    from embracenet_tpu import CELL_LINES, TASKS
+
+    if cell_line not in CELL_LINES:
+        raise ValueError(f"unknown cell line {cell_line!r}; "
+                         f"expected one of {CELL_LINES}")
+    if task not in TASKS:
+        raise ValueError(f"unknown task {task!r}; expected one of {TASKS}")
     mesh = resolve_mesh(mesh)
     if data is None:
         if pipeline is None:

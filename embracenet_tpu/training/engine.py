@@ -518,7 +518,15 @@ def fit(spec: ModelSpec,
     opt_state = None
     if init_params is None:
         if init_keys is None:
-            keys = jax.random.split(_to_host(key), n_trials + 1)
+            # The split must run on the backend the population will train
+            # on: jit places a program on the device of its COMMITTED
+            # arguments, so a host-committed key here silently drags
+            # _pop_setup — and, through its outputs, the whole training
+            # chunk program — onto XLA:CPU (observed: 3 windows/s vs 76k
+            # on the chip; this also wedged the round-2 driver bench).
+            src = (jax.device_put(key, jax.devices()[0]) if on_device
+                   else _to_host(key))
+            keys = jax.random.split(src, n_trials + 1)
             key = keys[0]
             init_keys = keys[1:]
         if spec.init_traced is not None:
@@ -628,6 +636,16 @@ def fit(spec: ModelSpec,
 
     trial_keys = (jnp.asarray(run_keys) if run_keys is not None
                   else jax.random.split(key, n_trials))
+    if mesh is None:
+        # Belt and braces against CPU-committed leaves (eager init path,
+        # caller-supplied keys/params): commit every chunk-program input
+        # that could carry host placement to the accelerator.  device_put
+        # onto the device an array already lives on is a no-op.
+        _dev = jax.devices()[0]
+        params, bn_state, trial_keys = jax.device_put(
+            (params, bn_state, trial_keys), _dev)
+        if opt_state is not None:
+            opt_state = jax.device_put(opt_state, _dev)
     # NB: construct from concrete numpy so avals are non-weak from the first
     # call — weak-typed scalars here caused a silent retrace (and a second
     # full XLA compile) on the second chunk call.

@@ -480,7 +480,18 @@ def main():
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--jax-platform", default="default",
                     choices=["default", "cpu"])
+    ap.add_argument("--budget", type=float, default=0.0,
+                    help="wall-clock budget in seconds; the suite stops "
+                         "cleanly after the current combo once exceeded "
+                         "(results are incremental, so nothing is lost)")
     args = ap.parse_args()
+
+    # Register for eviction: bench.py owns the machine when the driver runs
+    # it and SIGTERMs any pid found here (one host core + one chip — a
+    # concurrent suite starves the scoreboard bench into garbage).
+    with open("/tmp/parity.pid", "w") as fh:
+        fh.write(str(os.getpid()))
+    t_start = time.time()
 
     if args.jax_platform == "cpu":
         import jax
@@ -501,6 +512,10 @@ def main():
         run_combo("FFNN", "H1", "T3", 4, res, n_override=400)
         return
     for model_name, cell, tcode in SUITES[args.suite]:
+        if args.budget and time.time() - t_start > args.budget:
+            print(f"[budget] {args.budget:.0f}s exceeded; stopping cleanly "
+                  f"(incremental results kept)")
+            break
         run_combo(model_name, cell, tcode, args.epochs, res)
     save_results(res)
     print(json.dumps(res["meta"], indent=1))
