@@ -301,8 +301,24 @@ def run_reference(cell, task, model_name, X_tab, fa, y, num_epochs, seed,
         "average_CV_AUPRC": float(cv.scores_dict["average_CV_AUPRC"]),
         "final_test_AUPRC_scores":
             [float(v) for v in cv.scores_dict["final_test_AUPRC_scores"]],
+        "curves": _epoch_curves(cv.scores_dict),
     }
     return scores, optuna.all_trials_in_order(), wall
+
+
+def _epoch_curves(scores_dict):
+    """Per-fold per-epoch retrain AUPRC curves (both sides record
+    `iteration_n_{fold}` with `AUPRC_train`/`AUPRC_test` lists — reference
+    `training_models.py:660-687`, ours `training/cv.py:272-276`).  These are
+    the diagnostic payload for out-of-band combos: they show whether a
+    divergence is a failure-to-learn (flat test curve) or trial-selection
+    noise."""
+    out = {}
+    for k, v in scores_dict.items():
+        if k.startswith("iteration_n") and isinstance(v, dict):
+            out[k] = {m: [round(float(x), 4) for x in v[m]]
+                      for m in ("AUPRC_train", "AUPRC_test") if m in v}
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -337,6 +353,7 @@ def run_jax(cell, task, model_name, x_tab, codes, y, num_epochs,
         "average_CV_AUPRC": float(scores["average_CV_AUPRC"]),
         "final_test_AUPRC_scores":
             [float(v) for v in scores["final_test_AUPRC_scores"]],
+        "curves": _epoch_curves(scores),
     }, wall
 
 
@@ -484,6 +501,10 @@ def main():
                     help="wall-clock budget in seconds; the suite stops "
                          "cleanly after the current combo once exceeded "
                          "(results are incremental, so nothing is lost)")
+    ap.add_argument("--combo", default=None, metavar="MODEL:CELL:Tn",
+                    help="re-run ONE combo (force, even if already done), "
+                         "e.g. FFNN:MCF7:T2 — the diagnostic path for "
+                         "out-of-band results; records per-epoch curves")
     args = ap.parse_args()
 
     # Register for eviction: bench.py owns the machine when the driver runs
@@ -510,6 +531,14 @@ def main():
     res = load_results()
     if args.smoke:
         run_combo("FFNN", "H1", "T3", 4, res, n_override=400)
+        return
+    if args.combo:
+        model_name, cell, tcode = args.combo.split(":")
+        key = f"{cell}/{tcode}/{model_name}"
+        res["combos"].pop(key, None)  # force a fresh paired run
+        run_combo(model_name, cell, tcode, args.epochs, res)
+        save_results(res)
+        print(json.dumps(res["combos"].get(key, {}), indent=1))
         return
     for model_name, cell, tcode in SUITES[args.suite]:
         if args.budget and time.time() - t_start > args.budget:
