@@ -50,7 +50,6 @@ jaxcache.enable(os.environ.get(
 _T0 = time.time()
 _BUDGET_S = float(os.environ.get("EMBRACENET_BENCH_BUDGET_S", "480"))
 _best_payload = None
-_emitted = False
 
 # ---------------------------------------------------------------------------
 # Chip eviction.  This host has ONE CPU core and ONE TPU chip behind a
@@ -62,6 +61,23 @@ _emitted = False
 # (never by name pattern) before measuring.
 # ---------------------------------------------------------------------------
 _PIDFILES = ("/tmp/parity.pid", "/tmp/benchwarm.pid", "/tmp/sweepbench.pid")
+
+
+_TOOL_MARKERS = (b"parity_bench", b"sweep_bench", b"benchwarm",
+                 b"discrim_bench", b"realism_bench")
+
+
+def _is_registered_tool(pid: int) -> bool:
+    """Identity check against PID recycling: a registered pid is only a
+    valid eviction target while its cmdline still names one of this repo's
+    long-running tools.  (This is NOT pattern-based process discovery — the
+    pid comes from explicit registration; cmdline only CONFIRMS identity.)"""
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as fh:
+            cmd = fh.read()
+    except OSError:
+        return False
+    return any(m in cmd for m in _TOOL_MARKERS)
 
 
 def _evict_chip_users():
@@ -78,7 +94,7 @@ def _evict_chip_users():
             os.unlink(pf)
         except OSError:
             pass
-    live = [p for p in targets - {me} if os.path.exists(f"/proc/{p}")]
+    live = [p for p in targets - {me} if _is_registered_tool(p)]
     for pid in live:
         print(f"[evict] terminating pid {pid} (registered chip/CPU user)",
               file=sys.stderr)
@@ -103,12 +119,20 @@ def _remaining():
     return _BUDGET_S - (time.time() - _T0)
 
 
+_emit_once = __import__("itertools").count()
+
+
 def _emit():
-    """Print the best completed measurement exactly once (any exit path)."""
-    global _emitted
-    if _emitted:
+    """Print the best completed measurement exactly once (any exit path).
+
+    The once-guard must be atomic: the watchdog timer thread and a driver
+    SIGTERM handler can both reach here concurrently, and a plain
+    check-then-set of a bool can interleave (double JSON line -> the driver
+    mis-parses the scoreboard).  next() on an itertools.count is a single C
+    call — atomic under the GIL and safe under signal-handler re-entry,
+    where a lock could deadlock the main thread against itself."""
+    if next(_emit_once) != 0:
         return
-    _emitted = True
     payload = _best_payload or {
         "metric": "train_windows_per_sec_per_chip",
         "value": 0.0,
@@ -217,12 +241,13 @@ def report_mfu(hps, in_features, n_train, n_test, epochs, steady_s, label):
 
     'useful' counts each sampled architecture's own FLOPs (what the
     reference's sequential trials would pay): train fwd+bwd ~= 3x fwd per
-    window + one eval fwd over train and test per epoch.  The supernet
-    executes bucket-max shapes, so its paid FLOPs are higher — useful-MFU
-    is therefore a LOWER bound on MXU utilisation."""
+    window plus one eval fwd over the TEST set per epoch — train AUPRC is
+    accumulated from the training pass itself (engine.py train_epoch), so
+    no extra train-set forward exists.  The supernet executes bucket-max
+    shapes, so its paid FLOPs are higher — useful-MFU is therefore a LOWER
+    bound on MXU utilisation."""
     per_fwd = [embrace_fwd_flops(hp, in_features) for hp in hps]
-    per_epoch = sum(3 * f * n_train + f * (n_train + n_test)
-                    for f in per_fwd)
+    per_epoch = sum(3 * f * n_train + f * n_test for f in per_fwd)
     total = per_epoch * epochs
     mfu = total / steady_s / V5E_PEAK_BF16
     print(f"[{label}] useful FLOPs {total / 1e12:.2f} T over {steady_s:.2f}s "

@@ -67,7 +67,7 @@ def main(argv=None):
                             "FLOPs; more compiled variants)")
         p.add_argument("--fused-embrace", action="store_true",
                        help="Pallas fused docking+embracement kernel (TPU)")
-        p.add_argument("--fuse-folds", action="store_true",
+        p.add_argument("--fuse-folds", action="store_true", default=None,
                        help="train all CV folds' HPO populations (and all "
                             "retrains) as single fused programs — 2 device "
                             "programs per CV instead of 2*folds, and an "

@@ -68,15 +68,19 @@ def train(model: str, cell_line: str, task: str,
     ``mesh``: a ``jax.sharding.Mesh``, a ``config.MeshConfig``, or the
     string ``"auto"`` (all local devices on the 'trial' axis).  Populations
     shard over 'trial' and batches over 'data' (parallel/mesh.py)."""
-    from embracenet_tpu import CELL_LINES, TASKS
-
-    if cell_line not in CELL_LINES:
-        raise ValueError(f"unknown cell line {cell_line!r}; "
-                         f"expected one of {CELL_LINES}")
-    if task not in TASKS:
-        raise ValueError(f"unknown task {task!r}; expected one of {TASKS}")
     mesh = resolve_mesh(mesh)
     if data is None:
+        # registry validation applies to the lookup path only: with
+        # caller-supplied `data`, cell_line/task are just labels (synthetic
+        # benchmarks use e.g. "SYNTH"/"gated_multimodal")
+        from embracenet_tpu import CELL_LINES, TASKS
+
+        if cell_line not in CELL_LINES:
+            raise ValueError(f"unknown cell line {cell_line!r}; "
+                             f"expected one of {CELL_LINES}")
+        if task not in TASKS:
+            raise ValueError(f"unknown task {task!r}; "
+                             f"expected one of {TASKS}")
         if pipeline is None:
             pipeline = preprocess(task)
         data = pipeline.cell_data(cell_line)

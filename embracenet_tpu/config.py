@@ -132,13 +132,19 @@ class CVConfig:
     #                                 program compile+load — measured slower
     #                                 on this setup (962s vs 642s for the
     #                                 7-cell sweep), so off by default
-    fuse_folds: bool = False        # train ALL folds' HPO populations (and
+    fuse_folds: bool | None = None  # train ALL folds' HPO populations (and
     #                                 all retrains) as single fused vmapped
     #                                 programs over fold-concatenated data:
     #                                 2 device programs per CV instead of
     #                                 2*n_folds, and a 3x wider trial axis
     #                                 for the mesh to shard.  Per-trial RNG
-    #                                 is pinned to the sequential streams
+    #                                 is pinned to the sequential streams.
+    #                                 None = auto: on under a mesh (the wide
+    #                                 trial axis is what the mesh shards),
+    #                                 off single-device (measured slower
+    #                                 there).  Explicit False always wins —
+    #                                 the sequential per-fold path remains
+    #                                 reachable for debugging under a mesh
 
 
 @dataclasses.dataclass(frozen=True)

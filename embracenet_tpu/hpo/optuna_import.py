@@ -55,12 +55,16 @@ class ImportedStudy:
     fold: int | None
     augmentation: bool
     trials: list  # list[Trial]
+    direction: str = "MAXIMIZE"  # from optuna's study_directions table
 
     @property
     def best_trial(self) -> Trial | None:
         done = [t for t in self.trials
                 if t.state == "COMPLETE" and t.value is not None]
-        return max(done, key=lambda t: t.value) if done else None
+        if not done:
+            return None
+        pick = min if self.direction.upper().startswith("MIN") else max
+        return pick(done, key=lambda t: t.value)
 
 
 def _decode_param(value: float, distribution_json: str):
@@ -99,6 +103,9 @@ def load_optuna_db(path: str) -> dict[str, ImportedStudy]:
         cur = con.cursor()
         studies = dict(cur.execute(
             "SELECT study_id, study_name FROM studies"))
+        directions = dict(cur.execute(
+            "SELECT study_id, direction FROM study_directions "
+            "WHERE objective=0"))
         params: dict[int, dict] = {}
         for trial_id, pname, pval, dist in cur.execute(
                 "SELECT trial_id, param_name, param_value, "
@@ -127,8 +134,9 @@ def load_optuna_db(path: str) -> dict[str, ImportedStudy]:
     out = {}
     for study_id, name in studies.items():
         fields = parse_study_name(name)
-        out[name] = ImportedStudy(study_name=name, trials=by_study.get(
-            study_id, []), **fields)
+        out[name] = ImportedStudy(
+            study_name=name, trials=by_study.get(study_id, []),
+            direction=str(directions.get(study_id, "MAXIMIZE")), **fields)
     return out
 
 

@@ -138,7 +138,9 @@ class KfoldCV:
 
         folds = kfold_split(n, cv_cfg.n_folds, random_state)
 
-        if ((cv_cfg.fuse_folds or mesh is not None) and spec.vmappable
+        fuse = (cv_cfg.fuse_folds if cv_cfg.fuse_folds is not None
+                else mesh is not None)
+        if (fuse and spec.vmappable
                 and not train_cfg.eval_reshuffle
                 and not hasattr(cv_cfg.sampler, "sample")):
             return self._call_fused(

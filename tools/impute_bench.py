@@ -108,16 +108,24 @@ def main():
                 results["cases"].append(case)
                 print(case, flush=True)
 
+    # Cross-method means are only meaningful over the SHARED case subset:
+    # rf_mice_sklearn skips d>100 cases, so a per-method mean over "its own"
+    # cases would compare easy-case averages against all-case averages.
+    shared = [c for c in results["cases"]
+              if all(n in c["rmse"] for n in METHODS)]
     summary = {}
     for name in METHODS:
-        vals = [c["rmse"][name] for c in results["cases"]
-                if name in c["rmse"]]
-        summary[name] = {"mean_rmse": round(float(np.mean(vals)), 5),
-                         "vs_mean_fill": round(float(
-                             np.mean([c["rmse"][name] / c["rmse"]["mean"]
-                                      for c in results["cases"]
-                                      if name in c["rmse"]])), 4)}
+        own = [c["rmse"][name] for c in results["cases"] if name in c["rmse"]]
+        summary[name] = {
+            "mean_rmse_all_own_cases": round(float(np.mean(own)), 5),
+            "mean_rmse_shared_cases": round(float(np.mean(
+                [c["rmse"][name] for c in shared])), 5) if shared else None,
+            "vs_mean_fill_shared": round(float(np.mean(
+                [c["rmse"][name] / c["rmse"]["mean"] for c in shared])),
+                4) if shared else None,
+        }
     results["summary"] = summary
+    results["n_shared_cases"] = len(shared)
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "IMPUTE_BENCH_r3.json")
     with open(out, "w") as fh:

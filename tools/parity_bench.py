@@ -217,6 +217,22 @@ def run_reference(cell, task, model_name, X_tab, fa, y, num_epochs, seed,
         _single_randperm_iter._parity_patched = True
         torch.utils.data.RandomSampler.__iter__ = _single_randperm_iter
 
+    if not hasattr(pd.Series, "ravel"):
+        # pandas >= 2 removed Series.ravel; the reference targets old
+        # pandas (`data_pipe/utils.py:575` calls y.ravel() before SMOTE
+        # in data_rebalancing — the first rebalancing combo, prevalence
+        # < 0.1, crashed the r3 suite here)
+        pd.Series.ravel = lambda self: np.asarray(self).ravel()
+    if not hasattr(pd.DataFrame, "append"):
+        # pandas >= 2 also removed DataFrame/Series.append, which the
+        # reference's rebalance/augment paths lean on (`data_pipe/
+        # utils.py:375-376,419-420,489-520`); restore the old semantics
+        def _append_compat(self, other, ignore_index=False, **k):
+            return pd.concat([self, other], ignore_index=ignore_index)
+
+        pd.DataFrame.append = _append_compat
+        pd.Series.append = _append_compat
+
     import optuna  # the shim
     import BIOINF_tesi.data_pipe.dataprepare as ref_dp
     import BIOINF_tesi.data_pipe.utils as ref_dputils
@@ -509,9 +525,15 @@ def main():
 
     # Register for eviction: bench.py owns the machine when the driver runs
     # it and SIGTERMs any pid found here (one host core + one chip — a
-    # concurrent suite starves the scoreboard bench into garbage).
+    # concurrent suite starves the scoreboard bench into garbage).  The
+    # registration is removed on clean exit so a recycled pid can never be
+    # targeted (bench.py additionally confirms identity via cmdline).
+    import atexit
+
     with open("/tmp/parity.pid", "w") as fh:
         fh.write(str(os.getpid()))
+    atexit.register(lambda: os.path.exists("/tmp/parity.pid")
+                    and os.unlink("/tmp/parity.pid"))
     t_start = time.time()
 
     if args.jax_platform == "cpu":

@@ -61,7 +61,7 @@ def main():
                     help="per-population width-sliced programs (min FLOPs; "
                          "more program variants — best with a warm compile "
                          "cache) instead of one shared full-size program")
-    ap.add_argument("--fuse-folds", action="store_true",
+    ap.add_argument("--fuse-folds", action="store_true", default=None,
                     help="all folds' HPO (and retrains) as single fused "
                          "vmapped programs — fewer dispatches, wider trial "
                          "axis")
