@@ -61,13 +61,21 @@ def train(model: str, cell_line: str, task: str,
           storage: str = "optuna_tuning.db",
           checkpoint_dir: str = "models",
           random_state: int = 789, verbose: bool = False,
-          mesh=None) -> dict:
+          mesh=None, model_label: str | None = None) -> dict:
     """K-fold CV with per-fold HPO for one (model, cell, task); returns the
     reference-shaped scores dict and records it into ``results`` if given.
 
     ``mesh``: a ``jax.sharding.Mesh``, a ``config.MeshConfig``, or the
     string ``"auto"`` (all local devices on the 'trial' axis).  Populations
-    shard over 'trial' and batches over 'data' (parallel/mesh.py)."""
+    shard over 'trial' and batches over 'data' (parallel/mesh.py).
+
+    ``model_label``: study/checkpoint name to record this run under when it
+    differs from the architecture — e.g. the reference's smote-vs-double
+    FFNN comparison trains the SAME family twice with different rebalancers
+    and keeps both runs' artifacts apart for ``select_augmented_models``
+    (`models/utils/utils.py:302-353`).  Without a distinct label the second
+    variant would resume the first's fold checkpoints and the comparison
+    would be vacuous."""
     mesh = resolve_mesh(mesh)
     if data is None:
         # registry validation applies to the lookup path only: with
@@ -88,14 +96,15 @@ def train(model: str, cell_line: str, task: str,
         import dataclasses
 
         cv_cfg = dataclasses.replace(cv_cfg, augmentation=augmentation)
+    label = model_label or model
     cv = KfoldCV()
     scores = cv(data, model, task=task, cell_line=cell_line,
                 cv_cfg=cv_cfg, train_cfg=train_cfg,
-                study_name=f"{cell_line}_{task}_{model}"
+                study_name=f"{cell_line}_{task}_{label}"
                            f"{'augmentation' if cv_cfg.augmentation else ''}",
                 storage=storage, checkpoint_dir=checkpoint_dir,
                 test_model_path=checkpoint_name(
-                    cell_line, model, task, 0, cv_cfg.augmentation),
+                    cell_line, label, task, 0, cv_cfg.augmentation),
                 random_state=random_state, verbose=verbose, mesh=mesh)
     if results is not None:
         name = model + ("_augmentation" if cv_cfg.augmentation else "")

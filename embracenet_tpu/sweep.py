@@ -100,7 +100,8 @@ def run_sweep(pipelines: dict | None = None,
                         family, cell, task, data=data, cv_cfg=cfg,
                         train_cfg=train_cfg, results=None, storage=storage,
                         checkpoint_dir=checkpoint_dir, verbose=False,
-                        mesh=mesh)
+                        mesh=mesh,
+                        model_label=name if name != family else None)
                     results.update(cell, task, name, scores)
                     results.save()
                 if len(variants) == 2:

@@ -258,11 +258,23 @@ def select_augmented_models(results: dict, cell_line: str, task: str,
                         >= e1.get("average_CV_AUPRC", -np.inf)) else augm_1
     node[model_name] = copy.deepcopy(node[f"{model_name}_{winner}"])
     node["best_augmentation"] = winner if fix_label_bug else augm_2
-    for fold in range(n_folds):
-        src = os.path.join(checkpoint_dir, checkpoint_name(
-            cell_line, f"{model_name}_{winner}", task, fold) + ".npz")
-        dst = os.path.join(checkpoint_dir, checkpoint_name(
-            cell_line, model_name, task, fold) + ".npz")
-        if os.path.exists(src):
-            shutil.copy(src, dst)
+    # Copy the winner's fold checkpoints to the canonical (suffix-free)
+    # names, like the reference's shutil.copy loop (utils.py:344-353, folds
+    # 1-based).  Two filename protocols are checked: the reference's
+    # multimodal-style `checkpoint_name` files, and the fold-resume files
+    # our KfoldCV actually writes (`{study_name}_fold{k}_result.npz` with
+    # study_name = f"{cell}_{task}_{label}" — api.train(model_label=...)).
+    for fold in range(1, n_folds + 1):
+        pairs = [
+            (checkpoint_name(cell_line, f"{model_name}_{winner}", task,
+                             fold) + ".npz",
+             checkpoint_name(cell_line, model_name, task, fold) + ".npz"),
+            (f"{cell_line}_{task}_{model_name}_{winner}"
+             f"_fold{fold}_result.npz",
+             f"{cell_line}_{task}_{model_name}_fold{fold}_result.npz"),
+        ]
+        for src, dst in pairs:
+            src = os.path.join(checkpoint_dir, src)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(checkpoint_dir, dst))
     return winner

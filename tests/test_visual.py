@@ -90,16 +90,25 @@ def test_select_augmented_models(tmp_path, results):
     assert ranksums(smote, double)[1] < 0.3  # hand-checked gate
     res = {"K562": {"t": {"FFNN_smote": entry(smote),
                           "FFNN_double": entry(double)}}}
-    for fold in range(3):
+    # folds are 1-based like the reference's copy loop (utils.py:344-353,
+    # `i+=1`); both filename protocols are copied — checkpoint_name-style
+    # and the `{study_name}_fold{k}_result` files our KfoldCV writes
+    for fold in range(1, 4):
         save_checkpoint(
             str(tmp_path / checkpoint_name("K562", "FFNN_double", "t", fold)),
+            {"params": {"w": np.zeros(2)}}, meta={"model": "FFNN"})
+        save_checkpoint(
+            str(tmp_path / f"K562_t_FFNN_double_fold{fold}_result"),
             {"params": {"w": np.zeros(2)}}, meta={"model": "FFNN"})
     winner = report.select_augmented_models(res, "K562", "t",
                                             checkpoint_dir=str(tmp_path))
     assert winner == "double"
     assert res["K562"]["t"]["best_augmentation"] == "double"
     assert res["K562"]["t"]["FFNN"] == res["K562"]["t"]["FFNN_double"]
-    assert (tmp_path / (checkpoint_name("K562", "FFNN", "t", 0) + ".npz")).exists()
+    for fold in range(1, 4):
+        assert (tmp_path / (checkpoint_name("K562", "FFNN", "t", fold)
+                            + ".npz")).exists()
+        assert (tmp_path / f"K562_t_FFNN_fold{fold}_result.npz").exists()
 
     # Case 2: interleaved folds -> ranksums p >= 0.3, so smote wins even
     # though double's average_CV_AUPRC is (slightly) higher.

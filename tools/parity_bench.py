@@ -165,7 +165,7 @@ class _StubPipeline:
 
 
 def run_reference(cell, task, model_name, X_tab, fa, y, num_epochs, seed,
-                  scratch, log_fh, augmentation=False):
+                  scratch, log_fh, augmentation=False, type_augm="smote"):
     """Run the reference's own Kfold_CV / Kfold_CV_Multimodal (torch CPU)."""
     import torch
 
@@ -299,6 +299,7 @@ def run_reference(cell, task, model_name, X_tab, fa, y, num_epochs, seed,
                 cv(stub, cell, "cpu", task=task,
                    sequence=(model_name == "CNN"),
                    model=getattr(ref_models, model_name),
+                   type_augm_genfeatures=type_augm,
                    n_folds=3, num_epochs=num_epochs, batch_size=100,
                    study_name=f"{cell}_{task}_{model_name}", sampler="TPE",
                    test_model_path="best")
@@ -342,7 +343,7 @@ def _epoch_curves(scores_dict):
 # ---------------------------------------------------------------------------
 
 def run_jax(cell, task, model_name, x_tab, codes, y, num_epochs,
-            trial_params, scratch, augmentation=False):
+            trial_params, scratch, augmentation=False, type_augm="smote"):
     from embracenet_tpu.config import CVConfig, TrainConfig
     from embracenet_tpu.hpo.samplers import ReplaySampler
     from embracenet_tpu.training.cv import KfoldCV
@@ -358,6 +359,7 @@ def run_jax(cell, task, model_name, x_tab, codes, y, num_epochs,
     scores = cv(
         data, model_name, task=task, cell_line=cell,
         cv_cfg=CVConfig(n_folds=3, n_trials=3, augmentation=augmentation,
+                        type_augm_genfeatures=type_augm,
                         sampler=ReplaySampler(trial_params)),
         train_cfg=TrainConfig(num_epochs=num_epochs, batch_size=100,
                               eval_reshuffle=True),
@@ -371,6 +373,135 @@ def run_jax(cell, task, model_name, x_tab, codes, y, num_epochs,
             [float(v) for v in scores["final_test_AUPRC_scores"]],
         "curves": _epoch_curves(scores),
     }, wall
+
+
+def run_select_check(res, num_epochs=12, cell="MCF7", tcode="T5"):
+    """End-to-end ``select_augmented_models`` parity (VERDICT r2 #4).
+
+    Trains the reference's FFNN twice on an imbalanced profile (prevalence
+    0.06 < rebalance threshold 0.1) — once per rebalancer (smote / double,
+    `training_models.py:427-441`) — and ours on the same paired trials;
+    then runs each side's OWN ``select_augmented_models`` (reference: the
+    realized second definition, `models/utils/utils.py:302-353`; ours:
+    `visual/report.py`) on its own CV outputs and compares the DECISION:
+    rank-sum p-value regime, winner, and the recorded (bug-compat 'double')
+    ``best_augmentation`` label.  The reference's checkpoint-copy loop gets
+    placeholder 1-based fold files (its own unimodal ``Kfold_CV`` writes a
+    different protocol — documented divergence, COMPONENT_MAP.md)."""
+    key = f"{cell}/{tcode}/FFNN+select"
+    if key in res["combos"] and "agree" in res["combos"][key]:
+        print(f"skip {key} (done)")
+        return
+    import zlib
+
+    task = TASK_CODES[tcode]
+    n = ROWS_TAB[tcode]
+    seed = zlib.crc32(key.encode()) % (2 ** 31)
+    X_tab, fa, codes, y = make_dataset(cell, tcode, n, seed)
+    scratch = os.path.join(SCRATCH, key.replace("/", "_"))
+    shutil.rmtree(scratch, ignore_errors=True)
+    print(f"=== {key}: n={n}, d={X_tab.shape[1]}, "
+          f"prev={float((y == 1).mean()):.3f}, epochs={num_epochs}")
+
+    import embracenet_tpu.api as et_api
+    from embracenet_tpu.config import CVConfig, TrainConfig
+    from embracenet_tpu.hpo.samplers import ReplaySampler
+
+    ref_rd = {cell: {task: {}}}
+    jax_rd = {cell: {task: {}}}
+    jax_ckdir = os.path.join(scratch, "jax_models")
+    entry = {"cell": cell, "task": task, "model": "FFNN+select"}
+    for augm in ("smote", "double"):
+        sc = os.path.join(scratch, augm)
+        os.makedirs(sc, exist_ok=True)
+        with open(os.path.join(sc, "ref.log"), "w") as fh:
+            ref_scores, trial_params, ref_wall = run_reference(
+                cell, task, "FFNN", X_tab, fa, y, num_epochs, seed,
+                sc, fh, type_augm=augm)
+        print(f"  torch[{augm}]: avg={ref_scores['average_CV_AUPRC']:.4f} "
+              f"({ref_wall:.0f}s)")
+        t0 = time.time()
+        jax_scores = et_api.train(
+            "FFNN", cell, task,
+            data={"ffnn": np.asarray(X_tab, np.float32),
+                  "y": np.asarray(y, np.int64)},
+            cv_cfg=CVConfig(n_folds=3, n_trials=3,
+                            type_augm_genfeatures=augm,
+                            sampler=ReplaySampler(trial_params)),
+            train_cfg=TrainConfig(num_epochs=num_epochs, batch_size=100,
+                                  eval_reshuffle=True),
+            storage=os.path.join(sc, "jax.db"),
+            checkpoint_dir=jax_ckdir, verbose=False,
+            model_label=f"FFNN_{augm}")
+        print(f"  jax[{augm}]:   avg={jax_scores['average_CV_AUPRC']:.4f} "
+              f"({time.time() - t0:.0f}s)")
+        strip = lambda s: {k: v for k, v in s.items() if k != "curves"}  # noqa: E731
+        ref_rd[cell][task][f"FFNN_{augm}"] = strip(ref_scores)
+        jax_rd[cell][task][f"FFNN_{augm}"] = {
+            "average_CV_AUPRC": float(jax_scores["average_CV_AUPRC"]),
+            "final_test_AUPRC_scores":
+                [float(v) for v in jax_scores["final_test_AUPRC_scores"]]}
+        entry[f"delta_{augm}"] = round(
+            float(jax_scores["average_CV_AUPRC"])
+            - float(ref_scores["average_CV_AUPRC"]), 5)
+
+    # reference's own selection, in a cwd holding its expected fold files
+    from BIOINF_tesi.models.utils import (
+        select_augmented_models as ref_select)
+
+    sel_cwd = os.path.join(scratch, "ref_select")
+    os.makedirs(sel_cwd, exist_ok=True)
+    for augm in ("smote", "double"):
+        for i in range(1, 4):
+            with open(os.path.join(
+                    sel_cwd, f"{cell}_FFNN_{task}_{i}_test_{augm}.pt"),
+                    "wb") as fh:
+                fh.write(b"placeholder")
+    cwd = os.getcwd()
+    os.chdir(sel_cwd)
+    try:
+        ref_select(ref_rd, verbose=False)
+    finally:
+        os.chdir(cwd)
+    ref_node = ref_rd[cell][task]
+    ref_winner = ("double" if ref_node["FFNN"]["final_test_AUPRC_scores"]
+                  == ref_node["FFNN_double"]["final_test_AUPRC_scores"]
+                  else "smote")
+
+    from embracenet_tpu.visual.report import (
+        select_augmented_models as jax_select)
+
+    jax_winner = jax_select(jax_rd, cell, task, checkpoint_dir=jax_ckdir)
+    jax_node = jax_rd[cell][task]
+
+    from scipy.stats import ranksums
+
+    entry.update({
+        "ref_pval": round(float(ranksums(
+            ref_node["FFNN_smote"]["final_test_AUPRC_scores"],
+            ref_node["FFNN_double"]["final_test_AUPRC_scores"])[1]), 4),
+        "jax_pval": round(float(ranksums(
+            jax_node["FFNN_smote"]["final_test_AUPRC_scores"],
+            jax_node["FFNN_double"]["final_test_AUPRC_scores"])[1]), 4),
+        "ref_winner": ref_winner, "jax_winner": jax_winner,
+        "ref_label": ref_node["best_augmentation"],
+        "jax_label": jax_node["best_augmentation"],
+        "ref": {a: ref_node[f"FFNN_{a}"] for a in ("smote", "double")},
+        "jax": {a: jax_node[f"FFNN_{a}"] for a in ("smote", "double")},
+        "agree": bool(ref_winner == jax_winner
+                      and ref_node["best_augmentation"]
+                      == jax_node["best_augmentation"]),
+        "canonical_folds_copied": all(
+            os.path.exists(os.path.join(
+                jax_ckdir, f"{cell}_{task}_FFNN_fold{i}_result.npz"))
+            for i in range(1, 4)),
+    })
+    res["combos"][key] = entry
+    save_results(res)
+    print(f"  select: ref winner={ref_winner} (p={entry['ref_pval']}), "
+          f"jax winner={jax_winner} (p={entry['jax_pval']}), "
+          f"agree={entry['agree']}")
+    shutil.rmtree(scratch, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -401,7 +532,9 @@ SUITES = {
     # exercises SMOTE-augment + reverse_strand_augment rebalancing
     "augm": [("EmbraceNetMultimodal+augm", "K562", "T2"),
              ("EmbraceNetMultimodal+augm", "MCF7", "T5"),
-             ("EmbraceNetMultimodal+augm", "GM12878", "T1")],
+             ("EmbraceNetMultimodal+augm", "GM12878", "T1"),
+             # sentinel: end-to-end select_augmented_models decision parity
+             ("SELECT", "MCF7", "T5")],
 }
 # multimodal first: the round's critical evidence lands even if the suite
 # is cut short by the round boundary
@@ -567,6 +700,9 @@ def main():
             print(f"[budget] {args.budget:.0f}s exceeded; stopping cleanly "
                   f"(incremental results kept)")
             break
+        if model_name == "SELECT":
+            run_select_check(res, args.epochs, cell, tcode)
+            continue
         run_combo(model_name, cell, tcode, args.epochs, res)
     save_results(res)
     print(json.dumps(res["meta"], indent=1))
