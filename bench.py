@@ -416,6 +416,16 @@ def main():
     args = ap.parse_args()
 
     _evict_chip_users()
+    # Hold the machine for the measurement: repo tools (parity_bench etc.)
+    # check this lock before starting, so a queued/chained suite can't spin
+    # up mid-bench after the eviction pass (the eviction only clears tools
+    # that are ALREADY running).
+    import atexit
+
+    with open("/tmp/bench.lock", "w") as fh:
+        fh.write(str(os.getpid()))
+    atexit.register(lambda: os.path.exists("/tmp/bench.lock")
+                    and os.unlink("/tmp/bench.lock"))
     _thread_watchdog()
     rng = np.random.default_rng(0)
     d = 64

@@ -656,6 +656,22 @@ def main():
                          "out-of-band results; records per-epoch curves")
     args = ap.parse_args()
 
+    # Yield to a live scoreboard bench: bench.py holds /tmp/bench.lock while
+    # measuring; starting a suite under it would corrupt the driver's number
+    # (one host core + one chip).  Wait it out (the bench's own watchdog
+    # bounds it to ~8 min), with a stale-lock guard.
+    while os.path.exists("/tmp/bench.lock"):
+        try:
+            with open("/tmp/bench.lock") as fh:
+                pid = int(fh.read().strip())
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                if b"bench.py" not in fh.read():
+                    break                       # recycled pid: stale lock
+        except (OSError, ValueError):
+            break                               # dead holder: stale lock
+        print("[wait] scoreboard bench holds the machine; sleeping 30s")
+        time.sleep(30)
+
     # Register for eviction: bench.py owns the machine when the driver runs
     # it and SIGTERMs any pid found here (one host core + one chip — a
     # concurrent suite starves the scoreboard bench into garbage).  The
