@@ -570,6 +570,24 @@ def save_results(res):
         if len(deltas) >= 6 and any(deltas):
             res["meta"]["bias_wilcoxon_p"] = round(
                 float(wilcoxon(deltas)[1]), 4)
+        by_model = {}
+        for c in done:
+            m = c["model"] + ("+augm" if c.get("augmentation") else "")
+            by_model.setdefault(m, []).append(c["delta"])
+        res["meta"]["by_model"] = {
+            m: {"n": len(ds),
+                "n_within_band": sum(1 for d in ds if abs(d) <= 0.05),
+                "mean_abs_delta": round(float(np.mean(
+                    [abs(d) for d in ds])), 4)}
+            for m, ds in sorted(by_model.items())}
+        by_task = {}
+        for c in done:
+            tcode = {v: k for k, v in TASK_CODES.items()}[c["task"]]
+            by_task.setdefault(tcode, []).append(c["delta"])
+        res["meta"]["by_task"] = {
+            t: {"n": len(ds),
+                "n_within_band": sum(1 for d in ds if abs(d) <= 0.05)}
+            for t, ds in sorted(by_task.items())}
     with open(RESULT_PATH, "w") as fh:
         json.dump(res, fh, indent=1)
 
