@@ -674,29 +674,60 @@ def main():
                          "out-of-band results; records per-epoch curves")
     args = ap.parse_args()
 
-    # Yield to a live scoreboard bench: bench.py holds /tmp/bench.lock while
-    # measuring; starting a suite under it would corrupt the driver's number
-    # (one host core + one chip).  Wait it out (the bench's own watchdog
-    # bounds it to ~8 min), with a stale-lock guard.
-    while os.path.exists("/tmp/bench.lock"):
+    # Serialize suites: one parity process at a time (chained/queued runs
+    # share one host core, one chip, and one incrementally-rewritten JSON —
+    # concurrent writers could drop each other's combos).  O_EXCL lockfile;
+    # a dead holder's lock is reclaimed.  Also blocks while a pre-lock-era
+    # instance is registered in /tmp/parity.pid.
+    import atexit
+
+    def _live(path):
         try:
-            with open("/tmp/bench.lock") as fh:
+            with open(path) as fh:
                 pid = int(fh.read().strip())
-            with open(f"/proc/{pid}/cmdline", "rb") as fh:
-                if b"bench.py" not in fh.read():
-                    break                       # recycled pid: stale lock
+            return pid != os.getpid() and os.path.exists(f"/proc/{pid}")
         except (OSError, ValueError):
-            break                               # dead holder: stale lock
-        print("[wait] scoreboard bench holds the machine; sleeping 30s")
-        time.sleep(30)
+            return False
+
+    def _release():
+        if os.path.exists("/tmp/parity.lock"):
+            os.unlink("/tmp/parity.lock")
+
+    while True:
+        # Yield to a live scoreboard bench (bench.py holds /tmp/bench.lock
+        # while measuring — starting a suite under it corrupts the driver's
+        # number) and to any already-running suite, incl. pre-lock-era
+        # instances that only register /tmp/parity.pid.
+        if _live("/tmp/bench.lock") or _live("/tmp/parity.pid"):
+            time.sleep(20)
+            continue
+        try:
+            fd = os.open("/tmp/parity.lock",
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+        except FileExistsError:
+            if not _live("/tmp/parity.lock"):
+                try:
+                    os.unlink("/tmp/parity.lock")   # stale (dead holder)
+                except OSError:
+                    pass
+                continue
+            time.sleep(20)
+            continue
+        if _live("/tmp/bench.lock"):        # bench raced in: back off
+            _release()
+            time.sleep(20)
+            continue
+        atexit.register(lambda: os.path.exists("/tmp/parity.lock")
+                        and os.unlink("/tmp/parity.lock"))
+        break
 
     # Register for eviction: bench.py owns the machine when the driver runs
     # it and SIGTERMs any pid found here (one host core + one chip — a
     # concurrent suite starves the scoreboard bench into garbage).  The
     # registration is removed on clean exit so a recycled pid can never be
     # targeted (bench.py additionally confirms identity via cmdline).
-    import atexit
-
     with open("/tmp/parity.pid", "w") as fh:
         fh.write(str(os.getpid()))
     atexit.register(lambda: os.path.exists("/tmp/parity.pid")
