@@ -754,9 +754,14 @@ def main():
         return
     if args.combo:
         model_name, cell, tcode = args.combo.split(":")
-        key = f"{cell}/{tcode}/{model_name}"
-        res["combos"].pop(key, None)  # force a fresh paired run
-        run_combo(model_name, cell, tcode, args.epochs, res)
+        if model_name == "SELECT":
+            key = f"{cell}/{tcode}/FFNN+select"
+            res["combos"].pop(key, None)
+            run_select_check(res, args.epochs, cell, tcode)
+        else:
+            key = f"{cell}/{tcode}/{model_name}"
+            res["combos"].pop(key, None)  # force a fresh paired run
+            run_combo(model_name, cell, tcode, args.epochs, res)
         save_results(res)
         print(json.dumps(res["combos"].get(key, {}), indent=1))
         return
