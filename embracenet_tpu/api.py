@@ -107,7 +107,10 @@ def train(model: str, cell_line: str, task: str,
                     cell_line, label, task, 0, cv_cfg.augmentation),
                 random_state=random_state, verbose=verbose, mesh=mesh)
     if results is not None:
-        name = model + ("_augmentation" if cv_cfg.augmentation else "")
+        # record under the label: a variant run (model_label="FFNN_smote")
+        # must not overwrite the canonical family entry — the canonical one
+        # is written by select_augmented_models after the variant contest
+        name = label + ("_augmentation" if cv_cfg.augmentation else "")
         results.update(cell_line, task, name, scores)
         results.set_baseline(cell_line, task, baseline_auprc(data["y"]))
         results.save()

@@ -432,7 +432,8 @@ def fit(spec: ModelSpec,
         train_plans: list | None = None,
         eval_plans: list | None = None,
         init_keys=None,
-        run_keys=None) -> FitResult:
+        run_keys=None,
+        chunk_callback=None) -> FitResult:
     """Train a population of trials on one (train, test) split.
 
     ``hp_list``/``opt_list``: per-trial concrete hyperparameter dicts
@@ -447,6 +448,16 @@ def fit(spec: ModelSpec,
     ``init_keys``/``run_keys`` (optional [T] key arrays, see key_streams)
     pin per-trial RNG streams so a fused population is bit-identical to the
     sequential fits it replaces.
+
+    ``chunk_callback`` (optional) is called after every completed epoch
+    chunk with ``(chunk_idx, n_epochs, wall_s, windows_per_epoch)`` where
+    ``wall_s`` covers dispatch + execution + metric fetch of that chunk and
+    ``windows_per_epoch`` counts real (unmasked) training windows across
+    the live population.  Chunk 0 includes the program compile/load, so a
+    throughput estimate from chunks >= 1 is steady-state — this is how
+    bench.py lands a windows/s number minutes before a full fit returns
+    (a fit on this rig can spend 100-400 s just loading the cached chunk
+    executable over the accelerator tunnel).
 
     Reference call shape: ``fit`` (`training_models.py:31-186`) and the HPO
     objective's epoch loop (`:284-347`) — here a single vmapped program.
@@ -708,10 +719,22 @@ def fit(spec: ModelSpec,
     hist_test = [[] for _ in range(n_real)]
     hist_f1 = [[] for _ in range(n_real)]
 
+    if chunk_callback is not None:
+        # real (unmasked) train windows per trial per epoch; a single
+        # shared plan broadcasts over all trials
+        _wpt = ([float(p.mask.sum()) for p in plans] if len(plans) > 1
+                else [float(plans[0].mask.sum())] * n_real)
+
     done = [False] * n_real
     epochs_done = 0
+    chunk_idx = 0
     while epochs_done < cfg.num_epochs and not all(done):
         n_ep = min(cfg.epoch_chunk, cfg.num_epochs - epochs_done)
+        if chunk_callback is not None:
+            # early-stopped trials still execute (frozen) but train no new
+            # windows; count only live trials' work
+            _wpe = sum(w for w, d in zip(_wpt, done) if not d)
+        t_chunk0 = time.perf_counter()
         if cfg.eval_reshuffle:
             tplan_idx, tplan_mask = _eval_plans_for(epochs_done, n_ep)
             if mesh is not None:
@@ -744,6 +767,10 @@ def fit(spec: ModelSpec,
                 outs)
         _, tr_sum, te_sum, f1_sum, stopped_seq = map(np.asarray, outs)
         _tm(f"chunk+fetch@{epochs_done}")
+        if chunk_callback is not None:
+            chunk_callback(chunk_idx, n_ep, time.perf_counter() - t_chunk0,
+                           _wpe)
+        chunk_idx += 1
         auprc_tr = tr_sum / train_div[:, None]        # [T, n_ep]
         auprc_te = te_sum / eval_div[:, None]
         f1 = f1_sum / eval_div[:, None, None]         # [T, n_ep, 3]

@@ -264,7 +264,11 @@ def select_augmented_models(results: dict, cell_line: str, task: str,
     # multimodal-style `checkpoint_name` files, and the fold-resume files
     # our KfoldCV actually writes (`{study_name}_fold{k}_result.npz` with
     # study_name = f"{cell}_{task}_{label}" — api.train(model_label=...)).
-    for fold in range(1, n_folds + 1):
+    # Fold 0 is included because api.train saves the winner variant's best
+    # TEST model as checkpoint_name(cell, label, task, 0) (api.py:106-107);
+    # promoting it creates the canonical `{cell}_{model}_{task}_0_test_`
+    # file that api.predict/evaluate and CompareModelsResult read.
+    for fold in range(0, n_folds + 1):
         pairs = [
             (checkpoint_name(cell_line, f"{model_name}_{winner}", task,
                              fold) + ".npz",

@@ -45,8 +45,13 @@ def main():
     from embracenet_tpu.config import CVConfig, TrainConfig
 
     def data_fn(cell, task):
-        # synthetic stand-in for pipelines from sweep.preprocess_all(root)
-        r = np.random.default_rng(abs(hash((cell, task))) % 2 ** 31)
+        # synthetic stand-in for pipelines from sweep.preprocess_all(root).
+        # Deterministic digest seed (NOT hash(), which is salted per
+        # interpreter and makes the demo irreproducible run-to-run)
+        import zlib
+
+        r = np.random.default_rng(zlib.crc32(f"{cell}/{task}".encode())
+                                  % 2 ** 31)
         n, d = 400, 16
         y = (r.random(n) < 0.3).astype(np.int64)
         w = r.normal(size=d)

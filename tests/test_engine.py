@@ -68,6 +68,26 @@ def test_fit_ffnn_learns(rng):
     assert res.epochs_run[0] >= 5
 
 
+def test_fit_chunk_callback_reports_every_chunk(rng):
+    """chunk_callback fires once per epoch chunk with the real (unmasked)
+    window count — bench.py's per-chunk throughput stashing rides this."""
+    data = _synthetic_tabular(rng, n=300)
+    train = {k: v[:200] for k, v in data.items()}
+    test = {k: v[200:] for k, v in data.items()}
+    spec = get_spec("FFNN", in_features_ffnn=16)
+    flat = space.sample_params("FFNN", rng)
+    hp = space.params_to_hp("FFNN", flat)
+    opt = space.optimizer_hp(flat)
+    cfg = TrainConfig(num_epochs=6, epoch_chunk=2, batch_size=64,
+                      patience=10_000)
+    calls = []
+    engine.fit(spec, [hp, hp], [opt, opt], train, test, cfg,
+               chunk_callback=lambda *a: calls.append(a))
+    assert [(c[0], c[1]) for c in calls] == [(0, 2), (1, 2), (2, 2)]
+    assert all(c[2] > 0 for c in calls)          # wall time
+    assert all(c[3] == 2 * 200 for c in calls)   # 2 live trials x 200 rows
+
+
 def test_fit_population_trials_differ(rng):
     data = _synthetic_tabular(rng, n=400)
     train = {k: v[:300] for k, v in data.items()}

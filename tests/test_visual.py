@@ -100,6 +100,12 @@ def test_select_augmented_models(tmp_path, results):
         save_checkpoint(
             str(tmp_path / f"K562_t_FFNN_double_fold{fold}_result"),
             {"params": {"w": np.zeros(2)}}, meta={"model": "FFNN"})
+    # fold 0 = the winner variant's best TEST model written by
+    # api.train(model_label=...) (api.py:106-107); select must promote it
+    # to the canonical name that api.predict/CompareModelsResult read
+    save_checkpoint(
+        str(tmp_path / checkpoint_name("K562", "FFNN_double", "t", 0)),
+        {"params": {"w": np.zeros(2)}}, meta={"model": "FFNN"})
     winner = report.select_augmented_models(res, "K562", "t",
                                             checkpoint_dir=str(tmp_path))
     assert winner == "double"
@@ -109,6 +115,8 @@ def test_select_augmented_models(tmp_path, results):
         assert (tmp_path / (checkpoint_name("K562", "FFNN", "t", fold)
                             + ".npz")).exists()
         assert (tmp_path / f"K562_t_FFNN_fold{fold}_result.npz").exists()
+    assert (tmp_path / (checkpoint_name("K562", "FFNN", "t", 0)
+                        + ".npz")).exists()
 
     # Case 2: interleaved folds -> ranksums p >= 0.3, so smote wins even
     # though double's average_CV_AUPRC is (slightly) higher.

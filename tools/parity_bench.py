@@ -19,7 +19,7 @@ exactly what "distributional parity" must absorb.  The reference's own
 fold-to-fold std is 0.01-0.15 (BASELINE.md), so |delta| <= 0.05 counts as
 within-band.
 
-Writes PARITY_r2.json incrementally (resumable; finished combos are skipped).
+Writes PARITY_r4.json incrementally (resumable; finished combos are skipped).
 
 Usage:
   python tools/parity_bench.py --smoke              # 1 tiny FFNN combo
@@ -50,7 +50,7 @@ sys.path.insert(0, os.path.join(REPO, "tools", "ref_shims"))
 sys.path.insert(0, "/root/reference")
 sys.path.insert(0, REPO)
 
-RESULT_PATH = os.path.join(REPO, "PARITY_r3.json")
+RESULT_PATH = os.path.join(REPO, "PARITY_r4.json")
 SCRATCH = os.path.join(REPO, "artifacts", "parity_scratch")
 
 # ---------------------------------------------------------------------------
@@ -681,17 +681,44 @@ def main():
     # instance is registered in /tmp/parity.pid.
     import atexit
 
-    def _live(path):
+    _HOLDER_MARKERS = (b"bench", b"parity", b"sweep", b"discrim", b"realism")
+
+    def _holder(path):
+        """(pid, live) of the lock/pidfile holder.  Liveness requires the
+        pid's cmdline to still name one of this repo's chip tools —
+        guarding against pid recycling, same as bench.py's
+        _is_registered_tool (a recycled pid would otherwise hold a stale
+        lock alive forever)."""
         try:
             with open(path) as fh:
                 pid = int(fh.read().strip())
-            return pid != os.getpid() and os.path.exists(f"/proc/{pid}")
         except (OSError, ValueError):
-            return False
+            return None, False
+        if pid == os.getpid() or not os.path.exists(f"/proc/{pid}"):
+            return pid, False
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                cmd = fh.read()
+        except OSError:
+            return pid, False
+        return pid, any(m in cmd for m in _HOLDER_MARKERS)
+
+    def _live(path):
+        return _holder(path)[1]
+
+    def _unlink_if_holds(path, pid):
+        """TOCTOU-safe stale-lock reclaim: only unlink while the lock still
+        names the pid just judged dead, so two waiters can never both
+        reclaim (the second re-read sees the winner's fresh pid)."""
+        try:
+            with open(path) as fh:
+                if int(fh.read().strip()) == pid:
+                    os.unlink(path)
+        except (OSError, ValueError):
+            pass
 
     def _release():
-        if os.path.exists("/tmp/parity.lock"):
-            os.unlink("/tmp/parity.lock")
+        _unlink_if_holds("/tmp/parity.lock", os.getpid())
 
     while True:
         # Yield to a live scoreboard bench (bench.py holds /tmp/bench.lock
@@ -707,11 +734,9 @@ def main():
             os.write(fd, str(os.getpid()).encode())
             os.close(fd)
         except FileExistsError:
-            if not _live("/tmp/parity.lock"):
-                try:
-                    os.unlink("/tmp/parity.lock")   # stale (dead holder)
-                except OSError:
-                    pass
+            pid, live = _holder("/tmp/parity.lock")
+            if not live and pid is not None:
+                _unlink_if_holds("/tmp/parity.lock", pid)  # stale holder
                 continue
             time.sleep(20)
             continue
@@ -719,8 +744,7 @@ def main():
             _release()
             time.sleep(20)
             continue
-        atexit.register(lambda: os.path.exists("/tmp/parity.lock")
-                        and os.unlink("/tmp/parity.lock"))
+        atexit.register(_release)
         break
 
     # Register for eviction: bench.py owns the machine when the driver runs
@@ -730,8 +754,7 @@ def main():
     # targeted (bench.py additionally confirms identity via cmdline).
     with open("/tmp/parity.pid", "w") as fh:
         fh.write(str(os.getpid()))
-    atexit.register(lambda: os.path.exists("/tmp/parity.pid")
-                    and os.unlink("/tmp/parity.pid"))
+    atexit.register(lambda: _unlink_if_holds("/tmp/parity.pid", os.getpid()))
     t_start = time.time()
 
     if args.jax_platform == "cpu":
