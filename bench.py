@@ -606,7 +606,8 @@ def _child_main(args):
 #: brownout: 25+ min).  After the first line exists the child is never
 #: stall-killed — a slow main-stage compile with the floor already banked
 #: still beats a retry from scratch.
-_FIRST_STASH_LIMIT_S = 170
+_FIRST_STASH_LIMIT_S = float(os.environ.get(
+    "EMBRACENET_BENCH_STALL_S", "170"))
 
 _LAST_GOOD = os.path.join(REPO, ".bench_last_good.json")
 
