@@ -39,7 +39,15 @@ class SMOTE:
             n_new_neg = max(0, int(self.sampling_strategy.get(0, n_neg)) - n_neg)
             n_new_pos = max(0, int(self.sampling_strategy.get(1, n_pos)) - n_pos)
         else:
-            target_pos = int(round(float(self.sampling_strategy) * n_neg))
+            # imblearn float semantics TRUNCATE: n_target = int(r * n_maj)
+            # (imblearn.utils._validation._sampling_strategy_float).  This
+            # must not round: the reference's sequence-side rebalance count
+            # is int(r*n_neg - n_pos) (data_pipe/utils.py:652-684), i.e.
+            # the same floor — rounding here made the two multimodal views
+            # differ by one row whenever frac(r*n_neg) >= 0.5, tripping the
+            # reference's own assert(len(x_1)==len(x_2))
+            # (training_models_multimodal.py:345).
+            target_pos = int(float(self.sampling_strategy) * n_neg)
             n_new_pos = max(0, target_pos - n_pos)
             n_new_neg = 0
 
