@@ -165,8 +165,16 @@ class _StubPipeline:
 
 
 def run_reference(cell, task, model_name, X_tab, fa, y, num_epochs, seed,
-                  scratch, log_fh, augmentation=False, type_augm="smote"):
-    """Run the reference's own Kfold_CV / Kfold_CV_Multimodal (torch CPU)."""
+                  scratch, log_fh, augmentation=False, type_augm="smote",
+                  torch_seed=None):
+    """Run the reference's own Kfold_CV / Kfold_CV_Multimodal (torch CPU).
+
+    ``torch_seed`` (default: ``seed``) decouples the torch RNG — model
+    init, dropout, the stochastic embracement draws — from the
+    numpy/optuna streams that fix the dataset splits, rebalancing draws
+    and trial architectures.  Two runs differing only in ``torch_seed``
+    measure the reference's OWN init-luck noise floor on identical data
+    and identical sampled architectures (tools/noise_yardstick.py)."""
     import torch
 
     torch.set_num_threads(1)
@@ -281,7 +289,7 @@ def run_reference(cell, task, model_name, X_tab, fa, y, num_epochs, seed,
     optuna.seed(seed)
     np.random.seed(seed)
     random.seed(seed)
-    torch.manual_seed(seed)
+    torch.manual_seed(seed if torch_seed is None else torch_seed)
 
     stub = _StubPipeline(_StubDataClass(X_tab, fa, y))
     cwd = os.getcwd()
