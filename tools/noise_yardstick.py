@@ -37,32 +37,40 @@ OUT = os.path.join(REPO, "NOISE_YARDSTICK_r4.json")
 # of a small MLP under reference ES): every out-of-band row plus in-band
 # controls, reproduced from PARITY_r4.json combo profiles.
 COMBOS = [
-    # (cell, tcode)                      r4 jax-vs-ref delta
+    # (cell, tcode[, model_name])        r4 jax-vs-ref delta
     ("GM12878", "T2"),                 # -0.059  OUT
     ("H1", "T2"),                      # +0.072  OUT
     ("H1", "T3"),                      # +0.051  OUT
     ("HEK293", "T3"),                  # -0.077  OUT
     ("MCF7", "T2"),                    # +0.007  in
     ("A549", "T3"),                    # -0.034  in
+    # the one out-of-band multimodal row: EmbraceNet's stochastic
+    # embracement draws ride the torch RNG too, so the same pair design
+    # isolates the reference's own noise on the augmentation path
+    ("GM12878", "T1", "EmbraceNetMultimodal+augm"),  # +0.089  OUT
 ]
 
 TORCH_SEED_OFFSET = 7919  # a prime, for no reason beyond being memorable
 
 
-def run_pair(cell, tcode, num_epochs=12):
+def run_pair(cell, tcode, model_name="FFNN", num_epochs=12):
+    augmentation = model_name.endswith("+augm")
+    base_model = model_name.removesuffix("+augm")
     task = pb.TASK_CODES[tcode]
-    n = pb.ROWS_TAB[tcode]
-    key = f"{cell}/{tcode}/FFNN"
+    key = f"{cell}/{tcode}/{model_name}"
+    # multimodal combos use the (smaller) multimodal row count, exactly as
+    # the parity suite sizes them
+    n = pb.ROWS_TAB[tcode] if base_model in ("FFNN", "CNN") else 1200
     seed = zlib.crc32(key.encode()) % (2 ** 31)  # == the parity combo seed
     X_tab, fa, codes, y = pb.make_dataset(cell, tcode, n, seed)
-    scratch = f"/tmp/noise_yardstick/{cell}_{tcode}"
+    scratch = f"/tmp/noise_yardstick/{cell}_{tcode}_{base_model}"
     os.makedirs(scratch, exist_ok=True)
     runs = []
     for ts in (seed, seed + TORCH_SEED_OFFSET):
         with open(os.path.join(scratch, f"ref_{ts}.log"), "w") as fh:
             scores, _, wall = pb.run_reference(
-                cell, task, "FFNN", X_tab, fa, y, num_epochs, seed,
-                scratch, fh, torch_seed=ts)
+                cell, task, base_model, X_tab, fa, y, num_epochs, seed,
+                scratch, fh, augmentation=augmentation, torch_seed=ts)
         runs.append(scores)
     a, b = runs
     return {
@@ -84,11 +92,13 @@ def main():
         with open(OUT) as fh:
             res = json.load(fh)
     done = {r["combo"] for r in res["rows"]}
-    for cell, tcode in COMBOS:
-        if f"{cell}/{tcode}/FFNN" in done:
+    for combo in COMBOS:
+        cell, tcode = combo[:2]
+        model_name = combo[2] if len(combo) > 2 else "FFNN"
+        if f"{cell}/{tcode}/{model_name}" in done:
             continue
         t0 = time.time()
-        row = run_pair(cell, tcode)
+        row = run_pair(cell, tcode, model_name)
         row["wall_s"] = round(time.time() - t0, 1)
         res["rows"].append(row)
         print(json.dumps(row))
