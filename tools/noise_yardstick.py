@@ -63,10 +63,15 @@ def run_pair(cell, tcode, model_name="FFNN", num_epochs=12):
     n = pb.ROWS_TAB[tcode] if base_model in ("FFNN", "CNN") else 1200
     seed = zlib.crc32(key.encode()) % (2 ** 31)  # == the parity combo seed
     X_tab, fa, codes, y = pb.make_dataset(cell, tcode, n, seed)
-    scratch = f"/tmp/noise_yardstick/{cell}_{tcode}_{base_model}"
-    os.makedirs(scratch, exist_ok=True)
     runs = []
     for ts in (seed, seed + TORCH_SEED_OFFSET):
+        # separate scratch per torch seed: the reference reloads its
+        # fold-best checkpoint by filename (models_/<study>.pt,
+        # training_models_multimodal.py:614,97) and a different torch seed
+        # can crown a different-architecture best trial — run B must not
+        # see run A's files
+        scratch = f"/tmp/noise_yardstick/{cell}_{tcode}_{base_model}_{ts}"
+        os.makedirs(scratch, exist_ok=True)
         with open(os.path.join(scratch, f"ref_{ts}.log"), "w") as fh:
             scores, _, wall = pb.run_reference(
                 cell, task, base_model, X_tab, fa, y, num_epochs, seed,
