@@ -67,6 +67,30 @@ def pytest_configure(config):
         os.environ["EMBRACENET_NO_SCIPY"] = "1"
     if not _importable("orbax"):
         os.environ["EMBRACENET_NO_ORBAX"] = "1"
+    config.addinivalue_line(
+        "markers", "slow: multi-minute end-to-end module (engine fits, CV, "
+        "fold fusion, mesh) — deselect with -m 'not slow' for the quick "
+        "tier (~1-2 min on this 1-core VM vs ~45 min full)")
+
+
+# Modules whose tests run real engine.fit / KfoldCV / HPO populations on
+# CPU — minutes each on a 1-core VM.  Everything else (< a few seconds per
+# test) forms the quick tier: `pytest tests/ -m 'not slow'`.
+_SLOW_MODULES = {
+    "test_engine", "test_hpo_cv", "test_fold_fusion", "test_mesh",
+    "test_sweep", "test_api_golden", "test_io_pipeline", "test_discrim",
+    "test_models", "test_pallas_embrace", "test_width_buckets",
+    "test_pop_init", "test_visual",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        mod = os.path.splitext(os.path.basename(str(item.fspath)))[0]
+        if mod in _SLOW_MODULES:
+            item.add_marker(_pytest.mark.slow)
 
 
 def pytest_ignore_collect(collection_path, config):
