@@ -110,6 +110,14 @@ class TrainConfig:
     #                                 narrow) at the cost of one compiled
     #                                 program per distinct width signature —
     #                                 see modelspec statics / models/cnn.py
+    optim_dtype: str = "float32"    # "bfloat16": store the optimizer moments
+    #                                 (m, v) bf16 — halves their HBM bytes;
+    #                                 update math stays f32 (ops/optim.py)
+    param_dtype: str = "float32"    # "bfloat16": live params stored bf16
+    #                                 (fwd/bwd stream 2 B/param) with an f32
+    #                                 master copy in the optimizer state as
+    #                                 the source of truth; FitResult.params
+    #                                 returns the f32 master
     eval_reshuffle: bool = False    # strict parity: reference's test loader
     #                                 reshuffles EVERY epoch (DataLoader
     #                                 shuffle=True, training_models.py:477);

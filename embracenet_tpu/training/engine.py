@@ -96,10 +96,27 @@ def stack_trials(trees):
 
 _EPOCH_FN_CACHE: dict = {}
 
-#: jitted optimizer-state init — one device program instead of an eager
-#: zeros dispatch per parameter leaf (remote-dispatch rigs pay link latency
-#: per eager op)
-_opt_init_jit = jax.jit(jax.vmap(optim.init_state))
+_OPT_INIT_CACHE: dict = {}
+
+
+def _opt_init(state_dtype, master: bool):
+    """Jitted population (params -> (live_params, opt_state)) init — one
+    device program instead of an eager zeros dispatch per parameter leaf
+    (remote-dispatch rigs pay link latency per eager op).  With
+    ``master=True`` the returned live params are the bf16 working copy and
+    ``opt_state['master']`` keeps the f32 source of truth (ops/optim.py)."""
+    k = (str(state_dtype), master)
+    if k not in _OPT_INIT_CACHE:
+        def go(params):
+            opt = jax.vmap(
+                lambda p: optim.init_state(p, state_dtype, master))(params)
+            if master:
+                params = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16), params)
+            return params, opt
+
+        _OPT_INIT_CACHE[k] = jax.jit(go)
+    return _OPT_INIT_CACHE[k]
 
 _POP_INIT_CACHE: dict = {}
 
@@ -142,11 +159,13 @@ def _resolve_statics(spec: ModelSpec, hp_list, cfg: TrainConfig) -> dict:
 _POP_SETUP_CACHE: dict = {}
 
 
-def _pop_setup(spec: ModelSpec, statics: dict):
+def _pop_setup(spec: ModelSpec, statics: dict, state_dtype=None,
+               master: bool = False):
     """init + bucket-shrink + optimizer-state init fused into ONE jitted
-    program (cached per spec/statics).  Per-leaf eager ops each pay link
-    latency on remote-dispatch rigs; one program pays it once."""
-    k = (id(spec), _statics_key(statics))
+    program (cached per spec/statics/optimizer-precision).  Per-leaf eager
+    ops each pay link latency on remote-dispatch rigs; one program pays it
+    once."""
+    k = (id(spec), _statics_key(statics), str(state_dtype), master)
     if k not in _POP_SETUP_CACHE:
         from embracenet_tpu.training import slicing
 
@@ -157,7 +176,12 @@ def _pop_setup(spec: ModelSpec, statics: dict):
             if shrunk:
                 params, bn_state = slicing.shrink(spec.name, params,
                                                   bn_state, statics)
-            return params, bn_state, jax.vmap(optim.init_state)(params)
+            opt = jax.vmap(
+                lambda p: optim.init_state(p, state_dtype, master))(params)
+            if master:
+                params = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16), params)
+            return params, bn_state, opt
 
         _POP_SETUP_CACHE[k] = jax.jit(setup)
     return _POP_SETUP_CACHE[k]
@@ -452,8 +476,10 @@ def fit(spec: ModelSpec,
     ``chunk_callback`` (optional) is called after every completed epoch
     chunk with ``(chunk_idx, n_epochs, wall_s, windows_per_epoch)`` where
     ``wall_s`` covers dispatch + execution + metric fetch of that chunk and
-    ``windows_per_epoch`` counts real (unmasked) training windows across
-    the live population.  Chunk 0 includes the program compile/load, so a
+    ``windows_per_epoch`` is the chunk's real (unmasked) trained windows
+    divided by ``n_epochs`` — trials that early-stop mid-chunk contribute
+    only the epochs they actually trained (per-epoch ``stopped_seq``
+    accounting), so ``n_epochs * windows_per_epoch`` is exact work.  Chunk 0 includes the program compile/load, so a
     throughput estimate from chunks >= 1 is steady-state — this is how
     bench.py lands a windows/s number minutes before a full fit returns
     (a fit on this rig can spend 100-400 s just loading the cached chunk
@@ -506,6 +532,8 @@ def fit(spec: ModelSpec,
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
+    opt_state_dtype = (jnp.bfloat16 if cfg.optim_dtype == "bfloat16" else None)
+    use_master = cfg.param_dtype == "bfloat16"
     _tm = _SectionTimer()
 
     statics = _resolve_statics(spec, hp_list, cfg)
@@ -544,7 +572,8 @@ def fit(spec: ModelSpec,
             fans = [spec.fan_ins(h) for h in hp_list]
             fans = jax.tree.map(lambda *xs: np.stack(xs), *fans)
             if on_device:
-                params, bn_state, opt_state = _pop_setup(spec, statics)(
+                params, bn_state, opt_state = _pop_setup(
+                    spec, statics, opt_state_dtype, use_master)(
                     jnp.asarray(init_keys), fans)
             else:
                 with _host_cpu_scope():
@@ -605,7 +634,7 @@ def fit(spec: ModelSpec,
             params = jax.device_put(params, dev)
             bn_state = jax.device_put(bn_state, dev)
             _tm("population-transfer")
-        opt_state = _opt_init_jit(params)
+        params, opt_state = _opt_init(opt_state_dtype, use_master)(params)
     _tm("opt-init")
     chunk_fn = _epoch_fns_cached(spec, cfg, compute_dtype, statics)
 
@@ -731,9 +760,9 @@ def fit(spec: ModelSpec,
     while epochs_done < cfg.num_epochs and not all(done):
         n_ep = min(cfg.epoch_chunk, cfg.num_epochs - epochs_done)
         if chunk_callback is not None:
-            # early-stopped trials still execute (frozen) but train no new
-            # windows; count only live trials' work
-            _wpe = sum(w for w, d in zip(_wpt, done) if not d)
+            # snapshot liveness at chunk start; per-trial epochs actually
+            # trained come from stopped_seq after the chunk executes
+            _live0 = [not d for d in done]
         t_chunk0 = time.perf_counter()
         if cfg.eval_reshuffle:
             tplan_idx, tplan_mask = _eval_plans_for(epochs_done, n_ep)
@@ -768,8 +797,16 @@ def fit(spec: ModelSpec,
         _, tr_sum, te_sum, f1_sum, stopped_seq = map(np.asarray, outs)
         _tm(f"chunk+fetch@{epochs_done}")
         if chunk_callback is not None:
+            # exact per-trial epochs trained this chunk: a trial stopping
+            # at in-chunk epoch e trains e+1 epochs (the stopping epoch
+            # itself trains, then freezes) — so early converging trials no
+            # longer get credited with the whole chunk's windows
+            ss = stopped_seq[:n_real].astype(bool)
+            ep_tr = np.where(ss.any(axis=1), ss.argmax(axis=1) + 1, n_ep)
+            real_windows = sum(w * int(e) for w, e, live
+                               in zip(_wpt, ep_tr, _live0) if live)
             chunk_callback(chunk_idx, n_ep, time.perf_counter() - t_chunk0,
-                           _wpe)
+                           real_windows / n_ep)
         chunk_idx += 1
         auprc_tr = tr_sum / train_div[:, None]        # [T, n_ep]
         auprc_te = te_sum / eval_div[:, None]
@@ -797,6 +834,10 @@ def fit(spec: ModelSpec,
                   f"done={sum(done)}/{n_real}")
         epochs_done += n_ep
 
+    if use_master:
+        # the f32 master in the optimizer state is the source of truth;
+        # the bf16 working copy was only ever a compute-stream format
+        params = opt_state["master"]
     if shrunk:
         params, bn_state = _grow_jit(spec.name, statics)(params, bn_state)
     if n_real != n_trials:

@@ -188,6 +188,28 @@ class CompareModelsResult:
         with open(path, "wb") as fh:
             pickle.dump(result, fh)
 
+    def save_pval_dict(self, result: dict, task: str, out_dir: str = "."):
+        """Write the reference-named per-task artifact
+        ``pval_results_dict_{task}.pickle`` (`visual.py:396-397`) with the
+        reference's nesting ``{task: {cell: {str(fold_1based): {base_model:
+        {comp_model: pval}}}}}`` (`visual.py:374-389`; both pair directions
+        carry the same symmetric Wilcoxon p).  Returns the path written."""
+        from collections import OrderedDict
+
+        pval_dict: dict = {task: {}}
+        for cell, pairs in result.items():
+            folds: dict = {}
+            for (m1, m2), res in pairs.items():
+                for f, p in enumerate(res["pvalues"], start=1):
+                    d = folds.setdefault(str(f), {})
+                    d.setdefault(m1, {})[m2] = p
+                    d.setdefault(m2, {})[m1] = p
+            pval_dict[task][cell] = folds
+        path = os.path.join(out_dir, f"pval_results_dict_{task}.pickle")
+        with open(path, "wb") as fh:
+            pickle.dump(OrderedDict(pval_dict), fh)
+        return path
+
 
 def compare_model_overall_performance(results: dict,
                                       model: str = "EmbraceNetMultimodal",

@@ -257,3 +257,81 @@ def test_eval_reshuffle_multibatch_runs_and_permutes(rng):
                                  eval_reshuffle=True))
     assert len(res.auprc_test[0]) == 5
     assert all(np.isfinite(res.auprc_test[0]))
+
+
+def test_fit_low_precision_state_tracks_f32(rng):
+    """bf16 optimizer moments + bf16 live params with f32 master
+    (cfg.optim_dtype / cfg.param_dtype) must train to the same quality as
+    the f32 path on the same data/keys — the HBM-roofline lever must not
+    change what the engine learns (VERDICT r4 #1)."""
+    data = _synthetic_tabular(rng)
+    train = {k: v[:450] for k, v in data.items()}
+    test = {k: v[450:] for k, v in data.items()}
+    spec = get_spec("FFNN", in_features_ffnn=16)
+    hp = space.params_to_hp("FFNN", {
+        "n_layers": 2, "n_units_l0": 64, "n_units_l1": 32,
+        "dropout_l0": 0.0, "dropout_l1": 0.0,
+        "dropout_l2": 0.0, "dropout_l3": 0.0,
+        "n_units_l2": 4, "n_units_l3": 4,
+    })
+    opt = {"optimizer": np.int32(0), "lr": np.float32(1e-3),
+           "weight_decay": np.float32(1e-4)}
+    base = TrainConfig(num_epochs=15, batch_size=64, patience=10_000)
+    lowp = TrainConfig(num_epochs=15, batch_size=64, patience=10_000,
+                       optim_dtype="bfloat16", param_dtype="bfloat16")
+    res32 = engine.fit(spec, [hp], [opt], train, test, base)
+    reslp = engine.fit(spec, [hp], [opt], train, test, lowp)
+    # identical keys/plans; only state storage precision differs
+    assert abs(res32.final_test_auprc[0] - reslp.final_test_auprc[0]) < 0.05
+    # the returned params are the f32 master, not the bf16 working copy
+    leaves = [x for x in __import__("jax").tree.leaves(reslp.params)]
+    assert all(leaf.dtype == np.float32 for leaf in leaves)
+    prevalence = test["y"].mean()
+    assert reslp.final_test_auprc[0] > prevalence + 0.15
+
+
+def test_fit_bf16_moments_only(rng):
+    """optim_dtype=bfloat16 alone (f32 params) also trains fine."""
+    data = _synthetic_tabular(rng, n=400)
+    train = {k: v[:300] for k, v in data.items()}
+    test = {k: v[300:] for k, v in data.items()}
+    spec = get_spec("FFNN", in_features_ffnn=16)
+    hp = space.params_to_hp("FFNN", {
+        "n_layers": 1, "n_units_l0": 64, "n_units_l1": 16,
+        "n_units_l2": 4, "n_units_l3": 4, "dropout_l0": 0.0,
+        "dropout_l1": 0.0, "dropout_l2": 0.0, "dropout_l3": 0.0})
+    opt = {"optimizer": np.int32(2), "lr": np.float32(1e-3),
+           "weight_decay": np.float32(1e-4)}
+    res = engine.fit(spec, [hp], [opt], train, test,
+                     TrainConfig(num_epochs=10, batch_size=64,
+                                 optim_dtype="bfloat16"))
+    assert np.isfinite(res.final_test_auprc[0])
+    assert res.final_test_auprc[0] > test["y"].mean()
+
+
+def test_chunk_callback_counts_early_stopped_epochs_exactly(rng):
+    """A trial that early-stops mid-chunk contributes only the epochs it
+    actually trained to the callback's window count (ADVICE r4: the old
+    chunk-start accounting credited the full chunk)."""
+    data = _synthetic_tabular(rng, n=300)
+    train = {k: v[:200] for k, v in data.items()}
+    test = {k: v[200:] for k, v in data.items()}
+    spec = get_spec("FFNN", in_features_ffnn=16)
+    hp = space.params_to_hp("FFNN", {
+        "n_layers": 1, "n_units_l0": 32, "n_units_l1": 16,
+        "n_units_l2": 4, "n_units_l3": 4, "dropout_l0": 0.0,
+        "dropout_l1": 0.0, "dropout_l2": 0.0, "dropout_l3": 0.0})
+    opt = {"optimizer": np.int32(0), "lr": np.float32(1e-3),
+           "weight_decay": np.float32(1e-4)}
+    # delta so large no epoch ever improves on the first: the trial stops
+    # at epoch patience+1 = 2, inside the single 6-epoch chunk
+    cfg = TrainConfig(num_epochs=6, epoch_chunk=6, batch_size=64,
+                      patience=1, delta=10.0)
+    calls = []
+    res = engine.fit(spec, [hp], [opt], train, test, cfg,
+                     chunk_callback=lambda *a: calls.append(a))
+    assert res.epochs_run[0] == 2
+    (ci, n_ep, wall, wpe), = calls
+    assert (ci, n_ep) == (0, 6)
+    # 2 trained epochs x 200 windows spread over the 6-epoch chunk
+    assert wpe == pytest.approx(2 * 200 / 6)

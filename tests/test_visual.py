@@ -176,3 +176,21 @@ def test_compare_models_result(tmp_path, rng):
     assert isinstance(pair["different"], (bool, np.bool_))
     cmp.save(res, str(tmp_path / "pvals.pickle"))
     assert (tmp_path / "pvals.pickle").exists()
+
+    # reference-named per-task artifact round-trip (visual.py:396-397):
+    # pval_results_dict_{task}.pickle with the reference's nesting
+    # {task: {cell: {str(fold_1based): {base: {comp: pval}}}}}
+    import pickle
+
+    path = cmp.save_pval_dict(res, "t", out_dir=str(tmp_path))
+    assert path.endswith("pval_results_dict_t.pickle")
+    with open(path, "rb") as fh:
+        loaded = pickle.load(fh)
+    assert set(loaded) == {"t"}
+    assert set(loaded["t"]) == {"K562"}
+    assert set(loaded["t"]["K562"]) == {"1", "2"}
+    for f in ("1", "2"):
+        fold = loaded["t"]["K562"][f]
+        # both directions carry the same symmetric Wilcoxon p
+        assert fold["FFNN"]["CNN"] == fold["CNN"]["FFNN"]
+        assert fold["FFNN"]["CNN"] == pair["pvalues"][int(f) - 1]

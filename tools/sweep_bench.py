@@ -115,12 +115,18 @@ def main():
 
     per_cell = {}
     windows_trained = 0
+    measured_cells = [c for c in cells if cell_walls.get(c) is not None]
     for cell in cells:
         entry = results.get(cell, task, "EmbraceNetMultimodal")
         per_cell[cell] = {
             "average_CV_AUPRC": entry["average_CV_AUPRC"],
             "baseline": results.data[cell][task]["baseline_AUPRC"],
         }
+        if cell not in measured_cells:
+            # resumed run: this cell's training happened in a PREVIOUS
+            # invocation, so its windows must not count against this run's
+            # wall (they inflated windows/s by ~total/run cells otherwise)
+            continue
         for fold in range(1, args.folds + 1):
             it = entry.get(f"iteration_n_{fold}", {})
             epochs = len(it.get("AUPRC_test", []))
@@ -146,6 +152,8 @@ def main():
 
     report = {
         "cells": len(cells),
+        "cells_measured_this_run": len(measured_cells),
+        "partial_resume": len(measured_cells) < len(cells),
         "windows_per_cell": args.windows,
         "wall_clock_s": round(wall, 1),
         "per_cell_wall_s": cell_walls,
@@ -153,7 +161,8 @@ def main():
         "per_cell": per_cell,
         "approx_windows_trained": windows_trained,
         "windows_per_sec_per_chip": round(
-            windows_trained / wall / len(jax.devices()), 1),
+            windows_trained / wall / len(jax.devices()), 1)
+        if measured_cells else None,
         "useful_mfu_estimate": round(mfu_est, 4),
         "useful_mfu_note": ("3x mean-trial fwd FLOPs per trained window; "
                             "mean over 200 search-space draws at "
