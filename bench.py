@@ -356,7 +356,11 @@ def bench_ours(data_train, data_test, n_trials, epochs, in_features,
                           "EMBRACENET_OPTIM_DTYPE", "float32"),
                       param_dtype=os.environ.get(
                           "EMBRACENET_PARAM_DTYPE", "float32"),
-                      patience=10_000, width_buckets=width_buckets)
+                      patience=10_000, width_buckets=width_buckets,
+                      # overlap each chunk's metric fetch with the next
+                      # chunk's device execution (identical numerics,
+                      # tests/test_engine.py::test_pipeline_chunks_*)
+                      pipeline_chunks=True)
     groups = plan_buckets(spec, "EmbraceNetMultimodal", hps,
                           in_features=in_features) \
         if width_buckets else [list(range(n_trials))]
@@ -544,7 +548,7 @@ def _parse_args():
     ap.add_argument("--quick", action="store_true",
                     help="stop after the floor stage")
     ap.add_argument("--trials", type=int, default=8)
-    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--n", type=int, default=4000)
     ap.add_argument("--compare", action="store_true",
                     help="also run the unbucketed monolithic supernet and "
@@ -590,7 +594,14 @@ def _child_main(args):
     # to gain by measuring something smaller first.
     ours = bench_ours(train, test, args.trials, args.epochs, d,
                       width_buckets=True, label="ours/bucketed",
-                      epoch_chunk=4,
+                      # epoch_chunk=10: each chunk-boundary host round trip
+                      # over the accelerator tunnel costs ~0.36 s of drained
+                      # pipeline; at the round-4 chunk=4 that was ~30% of
+                      # steady wall (measured: 95.3k w/s at chunk 4, 123.0k
+                      # at 10, 130.4k at 20 on the same workload).  10 keeps
+                      # per-chunk stash granularity for brownout resilience;
+                      # epochs=40 amortizes the remaining boundaries.
+                      epoch_chunk=10,
                       stash_as=f"{args.trials}-trial HPO population, "
                                f"steady-chunk estimate", baseline=baseline,
                       stash_rank=2)

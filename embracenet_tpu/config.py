@@ -110,6 +110,17 @@ class TrainConfig:
     #                                 narrow) at the cost of one compiled
     #                                 program per distinct width signature —
     #                                 see modelspec statics / models/cnn.py
+    pipeline_chunks: bool = False   # dispatch epoch chunk k+1 before
+    #                                 fetching chunk k's metrics: the device
+    #                                 pipeline never drains at chunk
+    #                                 boundaries (each boundary drain costs
+    #                                 ~0.36 s over the accelerator tunnel).
+    #                                 Host early-exit/pruning bookkeeping
+    #                                 lags one chunk, so at most one chunk
+    #                                 of frozen-trial compute is wasted when
+    #                                 every trial early-stops; numerics are
+    #                                 identical (device-side ES gates
+    #                                 training either way)
     optim_dtype: str = "float32"    # "bfloat16": store the optimizer moments
     #                                 (m, v) bf16 — halves their HBM bytes;
     #                                 update math stays f32 (ops/optim.py)

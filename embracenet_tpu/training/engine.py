@@ -757,12 +757,69 @@ def fit(spec: ModelSpec,
     done = [False] * n_real
     epochs_done = 0
     chunk_idx = 0
+    pending = None          # pipeline_chunks: last dispatched, unprocessed
+    t_state = {"prev_fetch": time.perf_counter()}
+
+    def _process(rec):
+        """Fetch one chunk's metrics and run the host bookkeeping (history,
+        early-exit, pruning, chunk_callback).  With cfg.pipeline_chunks the
+        NEXT chunk is already enqueued on device when this blocks on the
+        fetch, so chunk boundaries never drain the device pipeline."""
+        c_idx, n_ep, ep_lo, outs, live0, t_disp = rec
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            outs = jax.tree.map(
+                lambda a: multihost_utils.process_allgather(a, tiled=True),
+                outs)
+        _, tr_sum, te_sum, f1_sum, stopped_seq = map(np.asarray, outs)
+        _tm(f"chunk+fetch@{ep_lo}")
+        now = time.perf_counter()
+        if chunk_callback is not None:
+            # exact per-trial epochs trained this chunk: a trial stopping
+            # at in-chunk epoch e trains e+1 epochs (the stopping epoch
+            # itself trains, then freezes) — so early converging trials are
+            # not credited with the whole chunk's windows
+            ss = stopped_seq[:n_real].astype(bool)
+            ep_tr = np.where(ss.any(axis=1), ss.argmax(axis=1) + 1, n_ep)
+            real_windows = sum(w * int(e) for w, e, live
+                               in zip(_wpt, ep_tr, live0) if live)
+            # wall: non-overlapping segment (pipelined chunks overlap their
+            # predecessor's fetch; sequential mode reduces to now - t_disp)
+            chunk_callback(c_idx, n_ep,
+                           now - max(t_disp, t_state["prev_fetch"]),
+                           real_windows / n_ep)
+        t_state["prev_fetch"] = now
+        auprc_tr = tr_sum / train_div[:, None]        # [T, n_ep]
+        auprc_te = te_sum / eval_div[:, None]
+        f1 = f1_sum / eval_div[:, None, None]         # [T, n_ep, 3]
+
+        for e in range(n_ep):
+            epoch = ep_lo + e + 1
+            for t in range(n_real):
+                if done[t]:
+                    continue
+                # history includes the stop epoch (the reference records
+                # the epoch's scores, then breaks)
+                hist_train[t].append(float(auprc_tr[t, e]))
+                hist_test[t].append(float(auprc_te[t, e]))
+                hist_f1[t].append(f1[t, e].tolist())
+                if report_fn is not None and \
+                        report_fn(t, epoch, float(auprc_te[t, e])):
+                    pruned[t] = True
+                    done[t] = True
+                elif stopped_seq[t, e]:
+                    done[t] = True
+        if verbose:
+            print(f"epochs {ep_lo + 1}-{ep_lo + n_ep}: "
+                  f"test AUPRC {auprc_te[:n_real, -1].round(4)} "
+                  f"done={sum(done)}/{n_real}")
+
     while epochs_done < cfg.num_epochs and not all(done):
         n_ep = min(cfg.epoch_chunk, cfg.num_epochs - epochs_done)
-        if chunk_callback is not None:
-            # snapshot liveness at chunk start; per-trial epochs actually
-            # trained come from stopped_seq after the chunk executes
-            _live0 = [not d for d in done]
+        # snapshot liveness at chunk start; per-trial epochs actually
+        # trained come from stopped_seq after the chunk executes
+        _live0 = [not d for d in done] if chunk_callback is not None else None
         t_chunk0 = time.perf_counter()
         if cfg.eval_reshuffle:
             tplan_idx, tplan_mask = _eval_plans_for(epochs_done, n_ep)
@@ -785,54 +842,22 @@ def fit(spec: ModelSpec,
             params, bn_state, opt_state, trial_keys, es, hp, opt_hp,
             train_data, plan_idx, plan_mask,
             test_data, tplan_idx, tplan_mask, eval_div_dev, n_ep)
-        # outs: per-trial [n_ep] sequences (vmap axis leads).  On a
-        # process-spanning mesh the trial axis is not fully addressable;
-        # gather it so every host sees every trial's metrics.
-        if multiproc:
-            from jax.experimental import multihost_utils
-
-            outs = jax.tree.map(
-                lambda a: multihost_utils.process_allgather(a, tiled=True),
-                outs)
-        _, tr_sum, te_sum, f1_sum, stopped_seq = map(np.asarray, outs)
-        _tm(f"chunk+fetch@{epochs_done}")
-        if chunk_callback is not None:
-            # exact per-trial epochs trained this chunk: a trial stopping
-            # at in-chunk epoch e trains e+1 epochs (the stopping epoch
-            # itself trains, then freezes) — so early converging trials no
-            # longer get credited with the whole chunk's windows
-            ss = stopped_seq[:n_real].astype(bool)
-            ep_tr = np.where(ss.any(axis=1), ss.argmax(axis=1) + 1, n_ep)
-            real_windows = sum(w * int(e) for w, e, live
-                               in zip(_wpt, ep_tr, _live0) if live)
-            chunk_callback(chunk_idx, n_ep, time.perf_counter() - t_chunk0,
-                           real_windows / n_ep)
+        # outs: per-trial [n_ep] sequences (vmap axis leads); fetched and
+        # bookkept by _process — either now (sequential) or after the NEXT
+        # chunk is enqueued (pipeline_chunks), in which case early-exit /
+        # pruning lag one chunk (at most one wasted chunk of frozen-trial
+        # compute; numerics identical — device-side ES gates training).
+        rec = (chunk_idx, n_ep, epochs_done, outs, _live0, t_chunk0)
         chunk_idx += 1
-        auprc_tr = tr_sum / train_div[:, None]        # [T, n_ep]
-        auprc_te = te_sum / eval_div[:, None]
-        f1 = f1_sum / eval_div[:, None, None]         # [T, n_ep, 3]
-
-        for e in range(n_ep):
-            epoch = epochs_done + e + 1
-            for t in range(n_real):
-                if done[t]:
-                    continue
-                # history includes the stop epoch (the reference records the
-                # epoch's scores, then breaks)
-                hist_train[t].append(float(auprc_tr[t, e]))
-                hist_test[t].append(float(auprc_te[t, e]))
-                hist_f1[t].append(f1[t, e].tolist())
-                if report_fn is not None and \
-                        report_fn(t, epoch, float(auprc_te[t, e])):
-                    pruned[t] = True
-                    done[t] = True
-                elif stopped_seq[t, e]:
-                    done[t] = True
-        if verbose:
-            print(f"epochs {epochs_done + 1}-{epochs_done + n_ep}: "
-                  f"test AUPRC {auprc_te[:n_real, -1].round(4)} "
-                  f"done={sum(done)}/{n_real}")
         epochs_done += n_ep
+        if cfg.pipeline_chunks:
+            if pending is not None:
+                _process(pending)
+            pending = rec
+        else:
+            _process(rec)
+    if pending is not None:
+        _process(pending)
 
     if use_master:
         # the f32 master in the optimizer state is the source of truth;

@@ -335,3 +335,35 @@ def test_chunk_callback_counts_early_stopped_epochs_exactly(rng):
     assert (ci, n_ep) == (0, 6)
     # 2 trained epochs x 200 windows spread over the 6-epoch chunk
     assert wpe == pytest.approx(2 * 200 / 6)
+
+
+def test_pipeline_chunks_identical_results(rng):
+    """cfg.pipeline_chunks overlaps the host fetch with the next chunk's
+    device execution; histories, early-stop epochs and params must be
+    IDENTICAL to the sequential path (same programs, same order)."""
+    data = _synthetic_tabular(rng, n=400)
+    train = {k: v[:300] for k, v in data.items()}
+    test = {k: v[300:] for k, v in data.items()}
+    spec = get_spec("FFNN", in_features_ffnn=16)
+    hp = space.params_to_hp("FFNN", {
+        "n_layers": 2, "n_units_l0": 64, "n_units_l1": 32,
+        "n_units_l2": 4, "n_units_l3": 4, "dropout_l0": 0.2,
+        "dropout_l1": 0.0, "dropout_l2": 0.0, "dropout_l3": 0.0})
+    opt = {"optimizer": np.int32(0), "lr": np.float32(1e-3),
+           "weight_decay": np.float32(1e-4)}
+    seq_cfg = TrainConfig(num_epochs=9, epoch_chunk=3, batch_size=64,
+                          patience=2)
+    pip_cfg = TrainConfig(num_epochs=9, epoch_chunk=3, batch_size=64,
+                          patience=2, pipeline_chunks=True)
+    a = engine.fit(spec, [hp, hp], [opt, opt], train, test, seq_cfg)
+    calls = []
+    b = engine.fit(spec, [hp, hp], [opt, opt], train, test, pip_cfg,
+                   chunk_callback=lambda *c: calls.append(c))
+    assert a.auprc_test == b.auprc_test
+    assert a.auprc_train == b.auprc_train
+    assert a.epochs_run == b.epochs_run
+    import jax
+    for la, lb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    # every dispatched chunk was processed exactly once, in order
+    assert [c[0] for c in calls] == list(range(len(calls)))

@@ -142,3 +142,23 @@ def test_fused_engine_training_parity(rng):
     assert np.isfinite(a_fused)
     # same signal, same budget: fused must land in the same quality band
     assert abs(a_fused - a_xla) < 0.2, (a_fused, a_xla)
+
+
+def test_fulle_extremes_match_unfused(inputs):
+    """Round-5 full-E blocking (streams x1 exactly once) must compute the
+    same docking+select as the original kernel and the unfused path."""
+    from embracenet_tpu.ops.pallas.embrace import _fused_fwd_fulle
+
+    x0, x1, w0, b0, w1, b1, e_mask = inputs
+    d0 = _dock(x0, w0, b0) * e_mask
+    d1 = _dock(x1, w1, b1) * e_mask
+    all0, ch = _fused_fwd_fulle(x0, x1, w0, b0, w1, b1,
+                                np.ones(len(x0), np.float32), e_mask, 3,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(all0), d0, rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(ch) == 1.0)
+    all1, ch = _fused_fwd_fulle(x0, x1, w0, b0, w1, b1,
+                                np.zeros(len(x0), np.float32), e_mask, 3,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(all1), d1, rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(ch) == 0.0)

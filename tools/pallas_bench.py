@@ -1,9 +1,11 @@
 """Fused-embracement kernel vs unfused XLA at production sizes (VERDICT r1
-item 3).  Measures forward and forward+backward wall time per call for the
-docking+embrace block in isolation, plus engine-level training throughput
-with TrainConfig(fused_embrace=True/False).
+item 3; r4 #5 earn-or-retire).  Measures forward and forward+backward wall
+time per call for the docking+embrace block in isolation — the original
+(i, j, k) blocking AND the round-5 full-E blocking that streams x1 exactly
+once (ops/pallas/embrace.py::_kernel_fulle) — plus engine-level training
+throughput with TrainConfig(fused_embrace=True/False).
 
-Run on the real chip; writes PALLAS_BENCH_r2.json.
+Run on the real chip; writes PALLAS_BENCH_r5.json.
 """
 
 from __future__ import annotations
@@ -27,7 +29,8 @@ jaxcache.enable(os.path.join(REPO, ".jax_cache"))
 
 from embracenet_tpu.models.embracenet import embrace  # noqa: E402
 from embracenet_tpu.models.layers import linear, width_mask  # noqa: E402
-from embracenet_tpu.ops.pallas.embrace import fused_embrace  # noqa: E402
+from embracenet_tpu.ops.pallas.embrace import (  # noqa: E402
+    _fused_fwd_fulle, fused_embrace)
 
 
 def block_bench(B, D0, D1, E, seed=0, iters=20):
@@ -56,6 +59,10 @@ def block_bench(B, D0, D1, E, seed=0, iters=20):
 
     def fused_once(x0, x1, w0, b0, w1, b1, p0):
         return fused_embrace(x0, x1, w0, b0, w1, b1, p0, em, 7)
+
+    def fulle_once(x0, x1, w0, b0, w1, b1, p0):
+        out, _ = _fused_fwd_fulle(x0, x1, w0, b0, w1, b1, p0, em, 7)
+        return out
 
     def fwd_loop(once):
         @jax.jit
@@ -102,11 +109,15 @@ def block_bench(B, D0, D1, E, seed=0, iters=20):
                                               "fwd_unfused"), 3),
            "fwd_fused_ms": round(timed_loop(fwd_loop(fused_once),
                                             "fwd_fused"), 3),
+           "fwd_fulle_ms": round(timed_loop(fwd_loop(fulle_once),
+                                            "fwd_fullE"), 3),
            "bwd_unfused_ms": round(timed_loop(bwd_loop(unfused_once),
                                               "bwd_unfused"), 3),
            "bwd_fused_ms": round(timed_loop(bwd_loop(fused_once),
                                             "bwd_fused"), 3)}
     row["fwd_speedup"] = round(row["fwd_unfused_ms"] / row["fwd_fused_ms"], 3)
+    row["fwd_fulle_speedup"] = round(
+        row["fwd_unfused_ms"] / row["fwd_fulle_ms"], 3)
     row["bwd_speedup"] = round(row["bwd_unfused_ms"] / row["bwd_fused_ms"], 3)
 
     # Roofline: is "XLA fusion is already HBM-optimal" a number or a story?
@@ -126,6 +137,7 @@ def block_bench(B, D0, D1, E, seed=0, iters=20):
         "ideal_ms": round(ideal_ms, 4),
         "fwd_unfused_x_ideal": round(row["fwd_unfused_ms"] / ideal_ms, 1),
         "fwd_fused_x_ideal": round(row["fwd_fused_ms"] / ideal_ms, 1),
+        "fwd_fulle_x_ideal": round(row["fwd_fulle_ms"] / ideal_ms, 1),
     }
     print(f"  roofline: {row['roofline']['bound']}-bound, ideal "
           f"{ideal_ms:.3f} ms; unfused {row['fwd_unfused_ms']:.3f} ms = "
@@ -171,15 +183,18 @@ def engine_bench(fused: bool, n=4000, epochs=10, batch=1024):
 
 
 def main():
+    # B=100: the reference's parity-pinned batch (training_models.py:284);
+    # B=1280: the compute-bound regime (docs/STATUS.md roofline note);
+    # B=4096: where the r2 (i,j,k) blocking lost 0.43x to its x1 re-streams
     out = {"blocks": [], "engine": {}}
-    for B in (256, 1024, 4096):
+    for B in (100, 256, 1280, 4096):
         out["blocks"].append(block_bench(B, 256, 7936, 1024))
     out["engine"]["unfused_wps"] = round(engine_bench(False), 1)
     out["engine"]["fused_wps"] = round(engine_bench(True), 1)
     out["engine"]["speedup"] = round(
         out["engine"]["fused_wps"] / out["engine"]["unfused_wps"], 3)
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "PALLAS_BENCH_r2.json")
+        os.path.abspath(__file__))), "PALLAS_BENCH_r5.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out["engine"], indent=1))
