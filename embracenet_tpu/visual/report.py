@@ -130,6 +130,64 @@ def plot_scores(results: dict, cell_line: str, task: str, model: str,
     return fig
 
 
+def plot_fold_scores(results: dict, cells, models=("FFNN", "CNN"),
+                     k: int = 3, save_path=None):
+    """The reference's ``plot_scores`` FORM (`visual.py:100-166`): a facet
+    grid (row = task, col = cell) of horizontal bars — one bar pair per
+    model, train vs test hue, bar = mean of the k fold-final AUPRCs with a
+    +-sd whisker (seaborn ``ci='sd'``), xlim (0, 1), and the cell/task
+    baseline as a red dashed vline.  Plain matplotlib, same visual layout.
+
+    ``results``: the results_dict mapping (ResultsDict.data or the
+    reference pickle's dict)."""
+    import matplotlib.pyplot as plt
+
+    if isinstance(cells, str):
+        cells = [cells]
+    tasks = sorted({t for c in cells for t in results.get(c, {})})
+    fig, axes = plt.subplots(
+        len(tasks), len(cells),
+        figsize=(5 * max(len(cells), 1), 2.2 * max(len(tasks), 1)),
+        squeeze=False)
+    colors = {"train": "#80d4ff", "test": "#ff3385"}
+    for r, task in enumerate(tasks):
+        for c, cell in enumerate(cells):
+            ax = axes[r][c]
+            entry = results.get(cell, {}).get(task, {})
+            ypos, labels = [], []
+            for mi, model in enumerate(models):
+                med = entry.get(model)
+                if not med:
+                    continue
+                for si, split in enumerate(("train", "test")):
+                    scores = np.asarray(
+                        med.get(f"final_{split}_AUPRC_scores", [])[:k],
+                        dtype=float)
+                    if not scores.size:
+                        continue
+                    y = mi + (si - 0.5) * 0.35
+                    ax.barh(y, scores.mean(), height=0.32,
+                            xerr=scores.std() if scores.size > 1 else None,
+                            color=colors[split],
+                            label=split if (mi == 0) else None)
+                ypos.append(mi)
+                labels.append(model)
+            base = entry.get("baseline_AUPRC")
+            if base is not None:
+                ax.axvline(base, color="red", linewidth=3, ls="--")
+            ax.set_xlim(0, 1)
+            ax.set_yticks(ypos)
+            ax.set_yticklabels(labels)
+            ax.invert_yaxis()
+            ax.set_title(f"{cell} | {task}", fontsize=9)
+            if r == 0 and c == 0:
+                ax.legend(fontsize=8)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+    return fig
+
+
 # ---------------------------------------------------------------------------
 # model comparison (Compare_Models_Result parity)
 # ---------------------------------------------------------------------------

@@ -173,3 +173,32 @@ def test_dryrun_multihost_two_processes():
     import __graft_entry__ as ge
 
     ge.dryrun_multihost(n_processes=2, n_local_devices=4)
+
+
+def test_fit_mesh_low_precision_state(rng):
+    """bf16 moments + bf16 live params/f32 master compose with the mesh
+    path (host init -> global_from_host_local shards the master alongside
+    params); scores stay finite and the returned params are the f32
+    master."""
+    from embracenet_tpu.config import TrainConfig
+    from embracenet_tpu.hpo import space
+    from embracenet_tpu.training import engine
+    from embracenet_tpu.training.modelspec import get_spec
+
+    m = M.make_mesh(n_trial=4, n_data=2)
+    data = {"ffnn": rng.normal(size=(48, 6)).astype(np.float32),
+            "y": (rng.random(48) < 0.4).astype(np.int64)}
+    spec = get_spec("FFNN", in_features_ffnn=6)
+    hps, opts = [], []
+    for t in range(4):
+        flat = space.sample_params("FFNN", np.random.default_rng(t))
+        flat["dropout_l0"] = 0.0
+        hps.append(space.params_to_hp("FFNN", flat))
+        opts.append(space.optimizer_hp(flat))
+    cfg = TrainConfig(num_epochs=2, epoch_chunk=2, batch_size=16,
+                      optim_dtype="bfloat16", param_dtype="bfloat16")
+    res = engine.fit(spec, hps, opts, data, data, cfg,
+                     key=jax.random.PRNGKey(5), mesh=m)
+    assert all(np.isfinite(res.final_test_auprc))
+    assert all(leaf.dtype == np.float32
+               for leaf in jax.tree.leaves(res.params))

@@ -68,6 +68,14 @@ def test_plots_render(results, tmp_path):
     labels = {"K562": np.array([1, 0, 0, 1]), "H1": np.array([0, 0, 1, 1])}
     report.plot_label_ratio(labels, "t", save_path=str(tmp_path / "p.png"))
     assert (tmp_path / "p.png").exists()
+    # the reference's catplot-of-fold-scores form (visual.py:100-166):
+    # task-row x cell-col facet grid of train/test bars + baseline vline
+    fig = report.plot_fold_scores(results, "K562",
+                                  models=("FFNN", "CNN"),
+                                  save_path=str(tmp_path / "cat.png"))
+    assert (tmp_path / "cat.png").exists()
+    n_tasks = len(results["K562"])
+    assert len(fig.axes) == n_tasks  # one facet per (task, cell)
 
 
 def test_select_augmented_models(tmp_path, results):
