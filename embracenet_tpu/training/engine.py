@@ -206,7 +206,12 @@ def _epoch_fns_cached(spec: ModelSpec, cfg: TrainConfig, compute_dtype,
     """Reuse jitted epoch fns across fit() calls: jax's jit cache keys on
     function identity, so rebuilding closures per call forces a recompile.
     With shape bucketing (below), repeated folds/cells hit the XLA cache."""
+    # patience/delta are CLOSED OVER by the chunk program's early-stopping
+    # arithmetic — omitting them from the key silently reused another
+    # config's stopping constants (caught by test_chunk_callback_counts_
+    # early_stopped_epochs_exactly failing only in-suite)
     key = (id(spec), cfg.auprc_on_probabilities, cfg.eval_reshuffle,
+           cfg.patience, cfg.delta,
            str(compute_dtype), tuple(sorted(statics.items())))
     if key not in _EPOCH_FN_CACHE:
         _EPOCH_FN_CACHE[key] = _make_epoch_fns(spec, cfg, compute_dtype,

@@ -11,8 +11,20 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
-import ast  # noqa: E402
+# The slow tier is dominated by XLA:CPU compiles of the engine's chunk
+# programs (measured: ~2/3 of its wall).  The machine-scoped persistent
+# cache (utils/jaxcache — see its docstring for why it must be scoped by
+# CPU feature set) makes every run after the first fast, which is the
+# point of a pre-commit tier.  min_compile_secs=2: CPU programs are
+# smaller than the TPU ones the default 5 s threshold was tuned for.
 import os  # noqa: E402
+
+from embracenet_tpu.utils import jaxcache as _jaxcache  # noqa: E402
+
+_jaxcache.enable(os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache"), min_compile_secs=2.0)
+
+import ast  # noqa: E402
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

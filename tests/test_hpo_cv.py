@@ -199,9 +199,22 @@ def test_kfold_cv_multimodal_end_to_end(tmp_path, rng):
     codes = rng.integers(0, 4, size=(n, 256)).astype(np.uint8)
     data = {"ffnn": x, "cnn": codes, "y": y}
 
+    # fixed small draws: random-sampler HPO is covered by the (cheap) FFNN
+    # end-to-end test; natural multimodal draws can sample 4-conv supernets
+    # whose XLA:CPU compiles made this the slowest test in the tier (380 s)
+    from embracenet_tpu.hpo.samplers import ReplaySampler
+
+    draw = {"FFNN_n_layers": 1, "FFNN_n_units_l0": 32, "FFNN_dropout_l0": 0.0,
+            "CNN_n_layers": 1, "CNN_out_channels_l0": 16,
+            "CNN_kernel_size_l0": 5, "CNN_dropout_l0": 0.0,
+            "EMBRACENET_embracement_size": 512, "n_post_layers": 0,
+            "selection_probabilities_FFNN": 0.5,
+            "optimizer": "Adam", "lr": 1e-3, "weight_decay": 1e-4}
     cv = KfoldCV()
     scores = cv(data, "EmbraceNetMultimodal", task="t", cell_line="K562",
-                cv_cfg=CVConfig(n_folds=2, n_trials=1, sampler="random"),
+                cv_cfg=CVConfig(n_folds=2, n_trials=1,
+                                sampler=ReplaySampler(
+                                    [draw, dict(draw, lr=2e-3)])),
                 train_cfg=TrainConfig(num_epochs=2, epoch_chunk=2,
                                       batch_size=40),
                 storage=str(tmp_path / "mm.db"),
@@ -370,8 +383,20 @@ def test_run_search_sequential_fallback_cnn_lstm(tmp_path, rng):
     val = {k: v[70:] for k, v in data.items()}
     spec = get_spec("CNN_LSTM")
     assert not spec.vmappable
+    # small fixed distinct archs (ReplaySampler): natural random draws can
+    # sample 2-conv/128-wide-LSTM programs whose XLA:CPU compile dominated
+    # the slow tier (184 s); the sequential-fallback semantics under test
+    # are sampler-independent (non-vmappable spec => sequential either way)
+    from embracenet_tpu.hpo.samplers import ReplaySampler
+
+    small = {"n_layers": 1, "out_channels_l0": 16, "kernel_size_l0": 5,
+             "dropout_l0": 0.0, "LSTM_hidden_layer_size": 32,
+             "LSTM_n_layers": 1, "optimizer": "Adam", "lr": 1e-3,
+             "weight_decay": 1e-4}
     res = run_search(spec, "CNN_LSTM", train, val, "lstm_1",
-                     storage=str(tmp_path / "l.db"), sampler="random",
+                     storage=str(tmp_path / "l.db"),
+                     sampler=ReplaySampler([small,
+                                            dict(small, out_channels_l0=32)]),
                      n_trials=2,
                      train_cfg=TrainConfig(num_epochs=1, epoch_chunk=1,
                                            batch_size=35),
