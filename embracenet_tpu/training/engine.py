@@ -784,11 +784,17 @@ def fit(spec: ModelSpec,
             # exact per-trial epochs trained this chunk: a trial stopping
             # at in-chunk epoch e trains e+1 epochs (the stopping epoch
             # itself trains, then freezes) — so early converging trials are
-            # not credited with the whole chunk's windows
+            # not credited with the whole chunk's windows.  Liveness at
+            # chunk START comes from the previously PROCESSED chunk's final
+            # stopped state (exact even under pipeline_chunks, where the
+            # dispatch-time ``done`` snapshot lags one chunk).
             ss = stopped_seq[:n_real].astype(bool)
             ep_tr = np.where(ss.any(axis=1), ss.argmax(axis=1) + 1, n_ep)
-            real_windows = sum(w * int(e) for w, e, live
-                               in zip(_wpt, ep_tr, live0) if live)
+            prev_stopped = t_state.get("stopped", [False] * n_real)
+            real_windows = sum(w * int(e) for w, e, live, st
+                               in zip(_wpt, ep_tr, live0, prev_stopped)
+                               if live and not st)
+            t_state["stopped"] = ss[:, -1].tolist()
             # wall: non-overlapping segment (pipelined chunks overlap their
             # predecessor's fetch; sequential mode reduces to now - t_disp)
             chunk_callback(c_idx, n_ep,

@@ -17,7 +17,7 @@ dataset, this isolates pure init luck — the mechanism the curve evidence
 identified (a retrain fold that opens cold is frozen by the reference's
 patience-4 EarlyStopping, `models/utils/utils.py:23-67`).
 
-Writes NOISE_YARDSTICK_r4.json.  Runs on CPU (torch side only; no jax).
+Writes NOISE_YARDSTICK_r5.json (cumulative over r4).  Runs on CPU (torch side only; no jax).
 """
 
 import json
@@ -31,7 +31,8 @@ sys.path.insert(0, REPO)
 
 from tools import parity_bench as pb  # noqa: E402
 
-OUT = os.path.join(REPO, "NOISE_YARDSTICK_r4.json")
+OUT = os.path.join(REPO, "NOISE_YARDSTICK_r5.json")
+_R4 = os.path.join(REPO, "NOISE_YARDSTICK_r4.json")
 
 # The round-4 FFNN parity rows (the high-variance family: 3-fold averages
 # of a small MLP under reference ES): every out-of-band row plus in-band
@@ -48,6 +49,12 @@ COMBOS = [
     # embracement draws ride the torch RNG too, so the same pair design
     # isolates the reference's own noise on the augmentation path
     ("GM12878", "T1", "EmbraceNetMultimodal+augm"),  # +0.089  OUT
+    # round 5: two more augmentation pairs so the augm family has >= 3
+    # measured reference-self-noise rows and its parity band becomes
+    # yardstick-calibrated instead of the default 0.05
+    # (tools/parity_bench._yardstick_band_by_family)
+    ("A549", "T2", "EmbraceNetMultimodal+augm"),
+    ("MCF7", "T5", "EmbraceNetMultimodal+augm"),
 ]
 
 TORCH_SEED_OFFSET = 7919  # a prime, for no reason beyond being memorable
@@ -95,6 +102,9 @@ def main():
            "band": 0.05, "epochs": 12, "rows": []}
     if os.path.exists(OUT):
         with open(OUT) as fh:
+            res = json.load(fh)
+    elif os.path.exists(_R4):   # cumulative: seed round 5 with round 4's rows
+        with open(_R4) as fh:
             res = json.load(fh)
     done = {r["combo"] for r in res["rows"]}
     for combo in COMBOS:
