@@ -196,3 +196,69 @@ def test_kfoldcv_fused_resume_mixed(rng, tmp_path):
                                rtol=1e-5, atol=1e-6)
     assert again["average_CV_AUPRC"] == pytest.approx(
         full["average_CV_AUPRC"], abs=1e-4)
+
+
+def test_fused_embracenet_same_arch_exact(rng):
+    """Fold-fused EmbraceNetMultimodal (per-trial plans over concatenated
+    folds, pinned key streams) is BIT-equal to its sequential per-fold fits
+    when the population shares one architecture (same bucket shapes => same
+    RNG draw shapes).  The on-chip companion (tools/fused_footprint.py)
+    asserts only a noise band: different TPU program shapes tile/round
+    differently, which this CPU test deliberately excludes."""
+    import jax
+
+    from embracenet_tpu.hpo import space
+    from embracenet_tpu.hpo.search import concat_fold_views
+
+    n, d = 360, 10
+    y = (rng.random(n) < 0.35).astype(np.int64)
+    data = {"ffnn": rng.normal(size=(n, d)).astype(np.float32),
+            "cnn": rng.integers(0, 4, size=(n, 256)).astype(np.uint8),
+            "y": y}
+    idx = np.arange(n)
+    third = n // 3
+    folds = []
+    for j in range(2):
+        te = idx[j * third:(j + 1) * third]
+        folds.append((np.setdiff1d(idx, te), te))
+    view = lambda i: {k: np.asarray(v)[i] for k, v in data.items()}  # noqa
+    spec = get_spec("EmbraceNetMultimodal", in_features_ffnn=d)
+    flat0 = space.sample_params("EmbraceNetMultimodal",
+                                np.random.default_rng(0))
+    flat0["CNN_n_layers"] = 1
+    flats = [flat0, dict(flat0, lr=flat0["lr"] * 0.5)]
+    hps = [space.params_to_hp("EmbraceNetMultimodal", f) for f in flats]
+    opts = [space.optimizer_hp(f) for f in flats]
+    cfg = TrainConfig(num_epochs=2, epoch_chunk=1, batch_size=40,
+                      patience=10_000, width_buckets=True)
+    fold_data = [(view(tr), view(te)) for tr, te in folds]
+    keys = [jax.random.PRNGKey(11), jax.random.PRNGKey(22)]
+    seq = []
+    for j in range(2):
+        tr_d, te_d = fold_data[j]
+        res = engine.fit(spec, [hps[j]], [opts[j]], tr_d, te_d, cfg,
+                         key=keys[j])
+        seq.append((res.auprc_test[0], res.auprc_train[0]))
+    cat_tr, off_tr = concat_fold_views([f[0] for f in fold_data],
+                                       ("ffnn", "cnn", "y"))
+    cat_te, off_te = concat_fold_views([f[1] for f in fold_data],
+                                       ("ffnn", "cnn", "y"))
+    tps, eps, iks, rks = [], [], [], []
+    for j in range(2):
+        tr_d, te_d = fold_data[j]
+        tps.append(shift_plan(balanced_plan(tr_d["y"], cfg.batch_size,
+                                            seed=123), off_tr[j]))
+        eps.append(shift_plan(eval_plan(len(te_d["y"]), cfg.batch_size * 2,
+                                        seed=123), off_te[j]))
+        ik, rk = engine.key_streams(keys[j], 1)
+        iks.append(np.asarray(ik))
+        rks.append(np.asarray(rk))
+    fused = engine.fit(spec, hps, opts, cat_tr, cat_te, cfg,
+                       train_plans=tps, eval_plans=eps,
+                       init_keys=np.concatenate(iks),
+                       run_keys=np.concatenate(rks))
+    for j in range(2):
+        np.testing.assert_allclose(fused.auprc_test[j], seq[j][0],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(fused.auprc_train[j], seq[j][1],
+                                   rtol=1e-5, atol=1e-6)

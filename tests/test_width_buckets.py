@@ -258,3 +258,41 @@ def test_fit_multimodal_width_buckets_smoke(rng):
                          jax.tree.leaves(jax.tree.map(
                              lambda a: np.asarray(a)[0], res.params))):
         assert full.shape == got.shape
+
+
+def test_width_buckets_with_master_params(rng):
+    """param_dtype=bfloat16's f32 master lives in the optimizer state at
+    BUCKET shapes; the end-of-fit grow must restore the full supernet
+    layout from the master, and scores must track the f32 bucketed run."""
+    import jax
+
+    from embracenet_tpu.config import TrainConfig
+    from embracenet_tpu.hpo import space
+    from embracenet_tpu.training import engine
+    from embracenet_tpu.training.modelspec import get_spec
+
+    n, d = 300, 10
+    y = (rng.random(n) < 0.35).astype(np.int64)
+    w = rng.normal(size=d)
+    x = (rng.normal(size=(n, d)) + np.outer(y * 2 - 1, w)).astype(np.float32)
+    train = {"ffnn": x[:220], "y": y[:220]}
+    test = {"ffnn": x[220:], "y": y[220:]}
+    spec = get_spec("FFNN", in_features_ffnn=d)
+    hp = space.params_to_hp("FFNN", {
+        "n_layers": 1, "n_units_l0": 32, "n_units_l1": 16,
+        "n_units_l2": 4, "n_units_l3": 4, "dropout_l0": 0.0,
+        "dropout_l1": 0.0, "dropout_l2": 0.0, "dropout_l3": 0.0})
+    opt = {"optimizer": np.int32(0), "lr": np.float32(1e-3),
+           "weight_decay": np.float32(1e-4)}
+    kw = dict(num_epochs=8, batch_size=64, patience=10_000,
+              width_buckets=True)
+    r32 = engine.fit(spec, [hp], [opt], train, test, TrainConfig(**kw))
+    rlp = engine.fit(spec, [hp], [opt], train, test,
+                     TrainConfig(**kw, optim_dtype="bfloat16",
+                                 param_dtype="bfloat16"))
+    leaves = jax.tree.leaves(rlp.params)
+    assert all(leaf.dtype == np.float32 for leaf in leaves)
+    # grown master has the full supernet layout (same shapes as f32 run)
+    for a, b in zip(jax.tree.leaves(r32.params), leaves):
+        assert a.shape == b.shape
+    assert abs(r32.final_test_auprc[0] - rlp.final_test_auprc[0]) < 0.06
