@@ -65,8 +65,12 @@ def main(argv=None):
         p.add_argument("--width-buckets", action="store_true",
                        help="width-sliced sub-population programs (min "
                             "FLOPs; more compiled variants)")
-        p.add_argument("--fused-embrace", action="store_true",
-                       help="Pallas fused docking+embracement kernel (TPU)")
+        p.add_argument("--fused-embrace", action=argparse.BooleanOptionalAction,
+                       default=None,
+                       help="Pallas fused docking+embracement kernel (TPU); "
+                            "default auto = on for single-trial programs at "
+                            "batch<=256, the measured-win regime "
+                            "(PALLAS_BENCH_r5.json)")
         p.add_argument("--fuse-folds", action="store_true", default=None,
                        help="train all CV folds' HPO populations (and all "
                             "retrains) as single fused programs — 2 device "

@@ -100,10 +100,16 @@ class TrainConfig:
     pad_ffnn_features: int | None = None  # pad tabular features to a fixed
     #                                 width -> one compiled program across
     #                                 cell lines (zero columns are inert)
-    fused_embrace: bool = False     # run EmbraceNet docking + stochastic
+    fused_embrace: bool | None = None  # run EmbraceNet docking + stochastic
     #                                 embracement as one Pallas TPU kernel
     #                                 (ops/pallas/embrace.py); same
-    #                                 distribution, different RNG stream
+    #                                 distribution, different RNG stream.
+    #                                 None = auto: on for single-trial
+    #                                 populations at batch_size <= 256 (the
+    #                                 measured-win regime — engine 1.05x at
+    #                                 the reference's B=100, kernel bwd
+    #                                 1.11x; loses under the vmapped
+    #                                 multi-trial program: PALLAS_BENCH_r5)
     width_buckets: bool = False     # slice supernet weights to the
     #                                 population's per-layer width maxima
     #                                 (exact; big FLOP cut when trials are

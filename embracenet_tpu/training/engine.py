@@ -134,7 +134,8 @@ def _statics_key(statics: dict) -> tuple:
     return tuple(sorted(statics.items()))
 
 
-def _resolve_statics(spec: ModelSpec, hp_list, cfg: TrainConfig) -> dict:
+def _resolve_statics(spec: ModelSpec, hp_list, cfg: TrainConfig,
+                     mesh=None) -> dict:
     """Static compile knobs for this population after config overrides."""
     statics = spec.statics(hp_list) if spec.statics else {}
     width_keys = ("cnn_max_channels", "cnn_max_kernels", "ffnn_max_width",
@@ -151,7 +152,16 @@ def _resolve_statics(spec: ModelSpec, hp_list, cfg: TrainConfig) -> dict:
         # reintroduce per-population shapes, so drop it too
         for k in width_keys:
             statics.pop(k, None)
-    if cfg.fused_embrace and spec.name == "EmbraceNetMultimodal":
+    fused = cfg.fused_embrace
+    if fused is None:
+        # auto (PALLAS_BENCH_r5): the Pallas kernel beats XLA only for
+        # unvmapped single-trial programs at small batch (engine 1.054x at
+        # the reference's B=100; 0.86x under the vmapped 8-trial
+        # population), and only on a real TPU backend — the CV retrain
+        # shape, not the HPO population shape.
+        fused = (len(hp_list) == 1 and cfg.batch_size <= 256
+                 and mesh is None and jax.default_backend() == "tpu")
+    if fused and spec.name == "EmbraceNetMultimodal":
         statics["fused_embrace"] = True
     return statics
 
@@ -541,7 +551,7 @@ def fit(spec: ModelSpec,
     use_master = cfg.param_dtype == "bfloat16"
     _tm = _SectionTimer()
 
-    statics = _resolve_statics(spec, hp_list, cfg)
+    statics = _resolve_statics(spec, hp_list, cfg, mesh=mesh)
     from embracenet_tpu.training import slicing
 
     shrunk = slicing.has_width_statics(statics)

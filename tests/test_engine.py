@@ -367,3 +367,37 @@ def test_pipeline_chunks_identical_results(rng):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
     # every dispatched chunk was processed exactly once, in order
     assert [c[0] for c in calls] == list(range(len(calls)))
+
+
+def test_fused_embrace_auto_resolution():
+    """fused_embrace=None resolves per PALLAS_BENCH_r5's measured regime:
+    on only for single-trial EmbraceNet programs at batch<=256 on a real
+    TPU backend (meshless); explicit True/False always wins."""
+    import jax
+
+    spec = get_spec("EmbraceNetMultimodal", in_features_ffnn=12)
+    flat = space.sample_params("EmbraceNetMultimodal",
+                               np.random.default_rng(0))
+    hp = space.params_to_hp("EmbraceNetMultimodal", flat)
+    on_tpu = jax.default_backend() == "tpu"
+
+    auto = engine._resolve_statics(spec, [hp], TrainConfig(batch_size=100))
+    assert auto.get("fused_embrace", False) == on_tpu  # off on CPU runners
+
+    # multi-trial populations and big batches never auto-fuse
+    multi = engine._resolve_statics(spec, [hp, hp], TrainConfig(batch_size=100))
+    assert "fused_embrace" not in multi
+    big = engine._resolve_statics(spec, [hp], TrainConfig(batch_size=1024))
+    assert "fused_embrace" not in big
+    meshed = engine._resolve_statics(spec, [hp], TrainConfig(batch_size=100),
+                                     mesh=object())
+    assert "fused_embrace" not in meshed
+
+    # explicit override beats auto in both directions
+    forced = engine._resolve_statics(spec, [hp, hp],
+                                     TrainConfig(fused_embrace=True))
+    assert forced.get("fused_embrace") is True
+    off = engine._resolve_statics(spec, [hp],
+                                  TrainConfig(batch_size=100,
+                                              fused_embrace=False))
+    assert "fused_embrace" not in off
