@@ -117,7 +117,12 @@ def test_fit_cnn_learns_motif(rng):
     })
     opt = {"optimizer": np.int32(0), "lr": np.float32(3e-3),
            "weight_decay": np.float32(1e-4)}
-    cfg = TrainConfig(num_epochs=25, batch_size=40)
+    # width_buckets: slice the supernet to this trial's 16-channel bucket —
+    # exact same math (prefix-aligned masking; equivalence covered by
+    # test_width_buckets) but the XLA:CPU compile is of a 16-ch conv
+    # program instead of the 512-ch full supernet that dominated this
+    # test's wall (59 s measured round 5)
+    cfg = TrainConfig(num_epochs=25, batch_size=40, width_buckets=True)
     res = engine.fit(spec, [hp], [opt], train, test, cfg)
     prevalence = test["y"].mean()
     # peak shows the motif was learned; final (reference = last-epoch value,

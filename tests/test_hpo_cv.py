@@ -216,7 +216,12 @@ def test_kfold_cv_multimodal_end_to_end(tmp_path, rng):
                                 sampler=ReplaySampler(
                                     [draw, dict(draw, lr=2e-3)])),
                 train_cfg=TrainConfig(num_epochs=2, epoch_chunk=2,
-                                      batch_size=40),
+                                      batch_size=40,
+                                      # compile the draw's own small bucket,
+                                      # not the full multimodal supernet
+                                      # (exactness covered by
+                                      # test_width_buckets)
+                                      width_buckets=True),
                 storage=str(tmp_path / "mm.db"),
                 checkpoint_dir=str(tmp_path),
                 test_model_path=checkpoint_name(
@@ -375,12 +380,17 @@ def test_eval_metric_batch_averaging_parity(rng):
 
 def test_run_search_sequential_fallback_cnn_lstm(tmp_path, rng):
     """Non-vmappable families (CNN_LSTM) run HPO trials sequentially."""
-    n = 100
+    # Shapes/archs/config deliberately IDENTICAL to
+    # test_cnn_lstm_grouped_population below: the per-arch XLA:CPU compiles
+    # dominate both tests' wall, and matching (rows, batch, epoch_chunk,
+    # arch dims) lets whichever test runs second ride the suite's
+    # persistent compile cache even on a cold machine.
+    n = 120
     codes = rng.integers(0, 4, size=(n, 256)).astype(np.uint8)
     y = (rng.random(n) < 0.4).astype(np.int64)
     data = {"cnn": codes, "y": y}
-    train = {k: v[:70] for k, v in data.items()}
-    val = {k: v[70:] for k, v in data.items()}
+    train = {k: v[:90] for k, v in data.items()}
+    val = {k: v[90:] for k, v in data.items()}
     spec = get_spec("CNN_LSTM")
     assert not spec.vmappable
     # small fixed distinct archs (ReplaySampler): natural random draws can
@@ -398,8 +408,8 @@ def test_run_search_sequential_fallback_cnn_lstm(tmp_path, rng):
                      sampler=ReplaySampler([small,
                                             dict(small, out_channels_l0=32)]),
                      n_trials=2,
-                     train_cfg=TrainConfig(num_epochs=1, epoch_chunk=1,
-                                           batch_size=35),
+                     train_cfg=TrainConfig(num_epochs=2, epoch_chunk=2,
+                                           batch_size=45),
                      checkpoint_dir=str(tmp_path), seed=0)
     assert res.n_complete == 2
     assert np.isfinite(res.best_value)
