@@ -357,6 +357,12 @@ def bench_ours(data_train, data_test, n_trials, epochs, in_features,
                       param_dtype=os.environ.get(
                           "EMBRACENET_PARAM_DTYPE", "float32"),
                       patience=10_000, width_buckets=width_buckets,
+                      # pin the XLA embrace path: the auto-fused default
+                      # (single-trial B<=256, PALLAS_BENCH_r5) would switch
+                      # the FLOOR stage to a cold Pallas compile inside the
+                      # parent's stall-kill window — the floor's job is
+                      # fastest-possible cold liveness, not peak
+                      fused_embrace=False,
                       # overlap each chunk's metric fetch with the next
                       # chunk's device execution (identical numerics,
                       # tests/test_engine.py::test_pipeline_chunks_*)
