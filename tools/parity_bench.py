@@ -559,6 +559,10 @@ SUITES["r5"] = [
     ("EmbraceNetMultimodal", "HEPG2", "T3"),
     ("EmbraceNetMultimodal", "A549", "T5"),
     ("FFNN", "HEPG2", "T1"), ("FFNN", "HEK293", "T4"),
+    # top-up past 60 cumulative delta rows (VERDICT r4 #4): cheap FFNN
+    # profiles + a 5th-task ConcatNet row
+    ("FFNN", "A549", "T1"), ("FFNN", "MCF7", "T4"),
+    ("ConcatNetMultimodal", "GM12878", "T5"),
 ]
 # multimodal first: the round's critical evidence lands even if the suite
 # is cut short by the round boundary
